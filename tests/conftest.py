@@ -3,7 +3,9 @@ tests run without TPU hardware (multi-chip logic is validated on a host mesh,
 per SURVEY.md section 4)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force override: the machine environment pre-sets JAX_PLATFORMS to the
+# remote-TPU tunnel, which would route every test dispatch over the network.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
