@@ -1,0 +1,160 @@
+"""Command-line entry point.
+
+Reference equivalent: the five `main*.jl` entry scripts + their ArgParse
+tables (main4IARow.jl:88-143).  The six reference flags are kept with the
+same names and defaults; everything the reference hard-codes at point of
+use (duel size, temperature cutoffs, buffer capacity, net width/depth,
+lr/weight-decay, ...) is promoted to a flag here (SURVEY.md section 5,
+config/flag system).
+
+Usage:
+    python -m alphatpu.cli --game connect4 --samples 32768 --rollout 64 \
+        --generation 100 --batchsize 8192 --cpuct 1.5
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="alphatpu", description="TPU-native AlphaZero training"
+    )
+    p.add_argument("--game", default="connect4",
+                   help="tictactoe | connect4 | gobang<N> | hex<N> | "
+                        "reversi6x6 | reversi8x8")
+    # --- the reference's six flags (README.md:25-44) ---
+    p.add_argument("--samples", type=int, default=32 * 1024,
+                   help="selfplay games per generation")
+    p.add_argument("--rollout", type=int, default=64,
+                   help="MCTS rollouts per move")
+    p.add_argument("--generation", type=int, default=100,
+                   help="number of generations")
+    p.add_argument("--batchsize", type=int, default=2 * 4096,
+                   help="SGD batch size")
+    p.add_argument("--cpuct", type=float, default=1.5,
+                   help="exploration coefficient")
+    p.add_argument("--noise", type=float, default=None,
+                   help="accepted for reference CLI parity; the root mix is "
+                        "the hard-coded 0.75/0.25 of the reference "
+                        "(mcts_gpu.jl:273) and this flag is ignored there too")
+    # --- promoted hard-coded constants ---
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--depth", type=int, default=None,
+                   help="residual tower depth (default: per-game reference)")
+    p.add_argument("--buffer-capacity", type=int, default=2_000_000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--feature-weight", type=float, default=1e-3)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--duel-games", type=int, default=1024)
+    p.add_argument("--duel-rollouts", type=int, default=32)
+    p.add_argument("--temp-moves", type=int, default=25)
+    p.add_argument("--duel-temp-moves", type=int, default=15)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint directory (default Data<game>/)")
+    p.add_argument("--no-checkpoint", action="store_true")
+    p.add_argument("--save-buffer", action="store_true",
+                   help="include the replay buffer in checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --ckpt-dir")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard selfplay/training over this many devices "
+                        "(0 = all available, 1 = single-device path)")
+    p.add_argument("--stats-file", default=None,
+                   help="append per-generation stats as JSON lines")
+    return p
+
+
+def make_pipeline_config(args, game):
+    from .duel import DuelConfig
+    from .pipeline import PipelineConfig
+    from .selfplay import SelfplayConfig
+    from .train import TrainConfig
+
+    return PipelineConfig(
+        selfplay=SelfplayConfig(
+            num_games=args.samples,
+            rollouts=args.rollout,
+            cpuct=args.cpuct,
+            temp_moves=args.temp_moves,
+        ),
+        train=TrainConfig(
+            batch_size=args.batchsize,
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            feature_weight=args.feature_weight,
+            epochs=args.epochs,
+        ),
+        duel=DuelConfig(
+            num_games=args.duel_games,
+            rollouts=args.duel_rollouts,
+            temp_moves=args.duel_temp_moves,
+        ),
+        buffer_capacity=args.buffer_capacity,
+        generations=args.generation,
+        seed=args.seed,
+        width=args.width,
+        depth=args.depth,
+        ckpt_dir=None if args.no_checkpoint else (
+            args.ckpt_dir or f"Data{args.game}"
+        ),
+        save_buffer=args.save_buffer,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from .games import make_game
+    from .pipeline import init_pipeline, run_generation
+
+    game = make_game(args.game)
+    cfg = make_pipeline_config(args, game)
+    print(f"alphatpu: game={game.name} devices={jax.devices()}")
+    state = init_pipeline(game, cfg)
+
+    if args.resume and cfg.ckpt_dir and os.path.exists(
+        os.path.join(cfg.ckpt_dir, "latest.json")
+    ):
+        from . import checkpoint as ckpt
+
+        manifest, loaded = ckpt.load_checkpoint(
+            cfg.ckpt_dir,
+            best_params=state.best_params,
+            train_params=state.train_params,
+            opt_state=state.opt_state,
+            rng=jax.random.key_data(state.rng),
+            buffer=state.buffer if args.save_buffer else None,
+        )
+        state.best_params = loaded["best"]
+        state.train_params = loaded["train"]
+        state.opt_state = loaded["opt"]
+        state.rng = jax.random.wrap_key_data(loaded["rng"])
+        if "buffer" in loaded:
+            state.buffer = loaded["buffer"]
+        state.elo = manifest["elo"]
+        state.generation = manifest["generation"]
+        state.best_generation = manifest["best_generation"]
+        print(f"resumed at generation {state.generation}, elo {state.elo:.1f}")
+
+    t0 = time.time()
+    while state.generation < cfg.generations:
+        state, stats = run_generation(game, state, cfg)
+        if args.stats_file:
+            with open(args.stats_file, "a") as f:
+                f.write(json.dumps(stats, default=float) + "\n")
+    print(f"done: {cfg.generations} generations in {time.time() - t0:.0f}s; "
+          f"best generation {state.best_generation}, elo {state.elo:.1f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

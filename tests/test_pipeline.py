@@ -1,0 +1,98 @@
+"""End-to-end pipeline smoke test and checkpoint roundtrip."""
+import os
+
+import jax
+import numpy as np
+
+from alphatpu import checkpoint as ckpt
+from alphatpu.duel import DuelConfig
+from alphatpu.games import make_game
+from alphatpu.pipeline import PipelineConfig, init_pipeline, run_generation
+from alphatpu.selfplay import SelfplayConfig
+from alphatpu.train import TrainConfig
+
+
+def tiny_config(tmp_path=None):
+    return PipelineConfig(
+        selfplay=SelfplayConfig(num_games=16, rollouts=12, cpuct=1.5),
+        train=TrainConfig(batch_size=32, epochs=1),
+        duel=DuelConfig(num_games=8, rollouts=8),
+        buffer_capacity=4096,
+        generations=2,
+        width=32,
+        depth=2,
+        ckpt_dir=str(tmp_path) if tmp_path else None,
+        log=lambda s: None,
+    )
+
+
+def test_two_generations_and_checkpoint(tmp_path):
+    game = make_game("tictactoe")
+    cfg = tiny_config(tmp_path)
+    state = init_pipeline(game, cfg)
+    p0 = jax.device_get(state.train_params["base"])
+
+    state, stats1 = run_generation(game, state, cfg)
+    assert stats1["generation"] == 1
+    assert stats1["illegal_moves"] == 0
+    assert sum(stats1["duel"]) == 8
+    p1 = jax.device_get(state.train_params["base"])
+    assert not np.allclose(p0, p1), "training changed no weights"
+
+    state, stats2 = run_generation(game, state, cfg)
+    assert stats2["generation"] == 2
+    assert int(np.asarray(state.buffer.total)) > 100
+
+    # checkpoint roundtrip
+    manifest_path = os.path.join(cfg.ckpt_dir, "latest.json")
+    assert os.path.exists(manifest_path)
+    fresh = init_pipeline(game, cfg)
+    manifest, loaded = ckpt.load_checkpoint(
+        cfg.ckpt_dir,
+        best_params=fresh.best_params,
+        train_params=fresh.train_params,
+        opt_state=fresh.opt_state,
+        rng=jax.random.key_data(fresh.rng),
+    )
+    assert manifest["generation"] == 2
+    np.testing.assert_array_equal(
+        np.asarray(loaded["train"]["base"]),
+        np.asarray(state.train_params["base"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded["best"]["base"]),
+        np.asarray(state.best_params["base"]),
+    )
+
+
+def test_cli_parser_matches_reference_flags():
+    from alphatpu.cli import build_parser
+
+    p = build_parser()
+    args = p.parse_args(
+        ["--game", "hex7", "--samples", "1024", "--rollout", "32",
+         "--generation", "5", "--batchsize", "512", "--cpuct", "2.0"]
+    )
+    assert args.samples == 1024 and args.rollout == 32
+    assert args.generation == 5 and args.batchsize == 512
+    assert args.cpuct == 2.0
+    # reference defaults (main4IARow.jl:88-116)
+    d = p.parse_args([])
+    assert d.samples == 32768 and d.rollout == 64 and d.generation == 100
+    assert d.batchsize == 8192 and abs(d.cpuct - 1.5) < 1e-9
+
+
+def test_interactive_move_parsing():
+    from alphatpu.games import make_game
+    from alphatpu.interactive import move_name, parse_move
+
+    c4 = make_game("connect4")
+    assert parse_move(c4, "a1") == 0
+    assert parse_move(c4, "d1") == 18
+    assert move_name(c4, 18) == "d1"
+    rev = make_game("reversi6x6")
+    assert parse_move(rev, "pass") == 36
+    assert move_name(rev, 36) == "pass"
+    hexg = make_game("hex5")
+    assert parse_move(hexg, "b3") == 7
+    assert move_name(hexg, 7) == "b3"
