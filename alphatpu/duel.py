@@ -56,9 +56,9 @@ def duel_half(game, net_apply, params_first, params_second, rng,
             rollouts=cfg.rollouts, cpuct=cfg.cpuct, training=False,
         )
         alive = ~done
-        u = jax.random.uniform(k_samp, (G,)) * pol.sum(-1)
+        u = jax.random.uniform(k_samp, (G,)) * pol.sum(0)  # pol is [A, G]
         sampled = cdf_sample(pol, u)
-        greedy = jnp.argmax(pol, axis=-1).astype(jnp.int32)
+        greedy = jnp.argmax(pol, axis=0).astype(jnp.int32)
         action = jnp.where(t < cfg.temp_moves, sampled, greedy)
         newpos = jax.vmap(game.play)(positions, action)
         positions = jax.tree.map(

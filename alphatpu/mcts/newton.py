@@ -23,63 +23,75 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-MAX_NEWTON_ITERS = 100
+# 12 chunks x 8 unrolled steps = 96 max updates (~ the reference's 100-cap,
+# mcts_gpu.jl:141; convergence typically takes < 10).  Chunked unrolling is
+# the TPU-shaped form of the solve: XLA fuses each 8-step chunk into one
+# VPU kernel, and the while_loop exits after the first chunk in the common
+# case - versus one serialized device step per Newton iteration.
+NEWTON_CHUNK = 8
+NEWTON_MAX_CHUNKS = 12
 NEWTON_TOL = 1e-3
 ALPHA_FLOOR = 1e-4  # reference's per-action gap floor (mcts_gpu.jl:136)
 
 
 def regularized_policy(prior, q, visits, cpuct):
-    """prior/q/visits: f32[G, A] -> pi: f32[G, A].
+    """prior/q/visits: f32[A, G] (games minor) -> pi: f32[A, G].
 
     Not normalized exactly (the solve stops at tolerance); sampling uses the
     CDF-with-fallback walk that the reference uses (mcts_gpu.jl:172-182).
+    Per-lane convergence latching reproduces the reference's per-thread
+    break (newerr < tol or repeated error): once a lane converges its alpha
+    freezes for good.
     """
-    n = 1.0 + visits.sum(-1)
-    num_actions = (prior > 0).sum(-1).astype(jnp.float32)
+    n = 1.0 + visits.sum(0)
+    num_actions = (prior > 0).sum(0).astype(jnp.float32)
     lam = cpuct * jnp.sqrt(n) / (num_actions + n)
-    top = lam[:, None] * prior
-    alpha0 = jnp.max(q + jnp.maximum(top, ALPHA_FLOOR), axis=-1)
+    top = lam[None, :] * prior
+    alpha0 = jnp.max(q + jnp.maximum(top, ALPHA_FLOOR), axis=0)
 
-    def cond(st):
-        _, _, conv, j = st
-        return (j < MAX_NEWTON_ITERS) & ~jnp.all(conv)
-
-    def body(st):
-        alpha, prev_err, conv, j = st
-        bot = alpha[:, None] - q
+    def step(st):
+        alpha, prev_err, conv = st
+        bot = alpha[None, :] - q
         frac = top / bot
-        s = frac.sum(-1)
-        grad = -(frac / bot).sum(-1)
+        s = frac.sum(0)
+        grad = -(frac / bot).sum(0)
         err = s - 1.0
         now_conv = (err < NEWTON_TOL) | (err == prev_err)
         conv = conv | now_conv
-        step = err / jnp.where(grad == 0, 1.0, grad)
-        alpha = jnp.where(conv, alpha, alpha - step)
+        delta = err / jnp.where(grad == 0, 1.0, grad)
+        alpha = jnp.where(conv, alpha, alpha - delta)
         prev_err = jnp.where(conv, prev_err, err)
-        return alpha, prev_err, conv, j + 1
+        return alpha, prev_err, conv
 
-    alpha, _, _, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            alpha0,
-            jnp.full_like(alpha0, jnp.inf),
-            jnp.zeros(alpha0.shape, bool),
-            jnp.int32(0),
-        ),
+    def cond(st):
+        (_, _, conv), j = st
+        return (j < NEWTON_MAX_CHUNKS) & ~jnp.all(conv)
+
+    def body(st):
+        inner, j = st
+        for _ in range(NEWTON_CHUNK):  # static unroll -> one fused kernel
+            inner = step(inner)
+        return inner, j + 1
+
+    init = (
+        alpha0,
+        jnp.full_like(alpha0, jnp.inf),
+        jnp.zeros(alpha0.shape, bool),
     )
-    return top / (alpha[:, None] - q)
+    (alpha, _, _), _ = jax.lax.while_loop(cond, body, (init, jnp.int32(0)))
+    return top / (alpha[None, :] - q)
 
 
 def cdf_sample(pi, prob):
-    """Reference CDF walk (mcts_gpu.jl:172-182): pick the first action whose
-    inclusive prefix sum reaches ``prob``; if the total mass is below
-    ``prob``, fall back to the last action with positive probability."""
-    num_actions = pi.shape[-1]
-    csum = jnp.cumsum(pi, axis=-1)
+    """Reference CDF walk (mcts_gpu.jl:172-182) over pi [A, G], prob [G]:
+    pick the first action whose inclusive prefix sum reaches ``prob``; if
+    the total mass is below ``prob``, fall back to the last action with
+    positive probability."""
+    num_actions = pi.shape[0]
+    csum = jnp.cumsum(pi, axis=0)
     positive = pi > 0
-    reach = (csum >= prob[..., None]) & positive
-    first = jnp.argmax(reach, axis=-1)
-    last_pos = (num_actions - 1) - jnp.argmax(positive[..., ::-1], axis=-1)
-    last_pos = jnp.where(positive.any(-1), last_pos, 0)
-    return jnp.where(reach.any(-1), first, last_pos).astype(jnp.int32)
+    reach = (csum >= prob[None, :]) & positive
+    first = jnp.argmax(reach, axis=0)
+    last_pos = (num_actions - 1) - jnp.argmax(positive[::-1], axis=0)
+    last_pos = jnp.where(positive.any(0), last_pos, 0)
+    return jnp.where(reach.any(0), first, last_pos).astype(jnp.int32)

@@ -3,7 +3,9 @@
 TPU-native re-design of the reference's GPU kernels.  The reference runs one
 CUDA thread per game with divergent control flow (mcts_gpu.jl:100-199); TPUs
 have no per-lane divergence, so each phase is a *lockstep* array program over
-all games with active-lane masking:
+all games with active-lane masking, in the games-minor layout of
+:mod:`alphatpu.mcts.tree` (G fills the VPU lanes; every per-node read/write
+is a fused one-hot masked op, never a serialized scatter):
 
 * descend: a ``lax.while_loop`` over tree depth - all games step one edge per
   iteration until every game sits at an unexpanded leaf (kdescendTree!,
@@ -11,83 +13,93 @@ all games with active-lane masking:
 * expand: one batched legal-mask + prior write (mcts_gpu.jl:250-302),
 * backup: a ``lax.while_loop`` up the parent chains (mcts_gpu.jl:306-328),
 * the rollout loop is a ``lax.scan``; the NN evaluates all G leaves in one
-  in-graph forward per rollout (mcts_gpu.jl:396-439) - no host syncs.
+  in-graph batch-major forward per rollout (mcts_gpu.jl:396-439) - no host
+  syncs anywhere.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from .newton import cdf_sample, regularized_policy
-from .tree import Tree, gather_node, gather_states, scatter_node
+from .tree import (
+    Tree,
+    gather_node,
+    gather_states,
+    node_onehot,
+    scatter_node,
+    scatter_states,
+)
 
 
 def descend(game, tree: Tree, probs, cpuct):
     """Walk every game from its root to an unexpanded leaf, lazily allocating
-    at most one child per game, and return (tree, leaf_indices).
+    at most one child per game, and return (tree, leaf_indices [G]).
 
     ``probs``: f32[D, G] pre-drawn uniforms, indexed by depth - mirroring the
     reference's per-rollout ``CUDA.rand(maxLengthGame, L)`` draw
     (mcts_gpu.jl:397) and enabling exact-stream injection in tests.
     """
-    G, V = tree.parent.shape
-    garange = jnp.arange(G)
+    V = tree.num_nodes
+    A = tree.num_actions
+    G = tree.num_games
     max_depth = probs.shape[0]
+    act_ids = jnp.arange(A)[:, None]  # [A, 1]
 
     def cond(st):
         tree, node, depth = st
-        return jnp.any(gather_node(tree.expanded, node)) & (depth < max_depth)
+        oh = node_onehot(V, node)
+        return jnp.any(gather_node(tree.expanded, oh)) & (depth < max_depth)
 
     def body(st):
         tree, node, depth = st
         prob = probs[depth]
-        active = gather_node(tree.expanded, node)
-        utd = gather_node(tree.uptodate, node)
-        prior = gather_node(tree.prior, node)
-        q = gather_node(tree.q, node)
-        visits = gather_node(tree.visits, node)
-        stored_pi = gather_node(tree.policy, node)
+        oh = node_onehot(V, node)  # [V, G]
+        active = gather_node(tree.expanded, oh)  # [G]
+        utd = gather_node(tree.uptodate, oh)
+        prior = gather_node(tree.prior, oh)  # [A, G]
+        q = gather_node(tree.q, oh)
+        visits = gather_node(tree.visits, oh)
+        stored_pi = gather_node(tree.policy, oh)
 
         # Recompute the regularized policy where stats went stale since the
         # last traversal (mcts_gpu.jl:114-169); first traversals reuse the
         # stored policy (= prior right after expansion).
         pi_new = regularized_policy(prior, q, visits, cpuct)
-        pi = jnp.where(utd[:, None], stored_pi, pi_new)
+        pi = jnp.where(utd[None, :], stored_pi, pi_new)
         refresh = active & ~utd
         tree = tree._replace(
-            policy=scatter_node(tree.policy, node, pi, refresh),
+            policy=scatter_node(tree.policy, oh, pi, refresh),
             # Pure optimization over the reference (which recomputes every
             # traversal): stats only change via backup, which re-marks stale.
             uptodate=scatter_node(
-                tree.uptodate, node, jnp.ones(G, bool), refresh
+                tree.uptodate, oh, jnp.ones((G,), bool), refresh
             ),
         )
 
-        action = cdf_sample(pi, prob)
+        action = cdf_sample(pi, prob)  # [G]
+        act_oh = act_ids == action[None, :]  # [A, G]
 
         # Lazy child allocation (mcts_gpu.jl:183-191).
-        cid = tree.child[garange, node, action]
+        cid = gather_node(tree.child, oh) * act_oh
+        cid = cid.sum(0)  # [G] - child id at (node, action), 0 = none
         need = active & (cid == 0)
         new = tree.next_idx
-        slot = jnp.where(need, new, V)
-        cur_state = gather_states(tree.states, node)
+        slot_oh = node_onehot(V, new) & need[None, :]  # masked slot one-hot
+        cur_state = gather_states(tree.states, oh)
         new_state = jax.vmap(game.play)(cur_state, action)
 
-        def place(leaf, val):
-            return leaf.at[garange, slot].set(val, mode="drop")
-
         tree = tree._replace(
-            parent=tree.parent.at[garange, slot].set(node, mode="drop"),
-            action_from=tree.action_from.at[garange, slot].set(
-                action, mode="drop"
+            parent=scatter_node(tree.parent, slot_oh, node),
+            action_from=scatter_node(tree.action_from, slot_oh, action),
+            states=scatter_states(tree.states, slot_oh, new_state),
+            child=jnp.where(
+                (oh[:, None, :] & act_oh[None] & need[None, None, :]),
+                new[None, None, :],
+                tree.child,
             ),
-            states=jax.tree.map(place, tree.states, new_state),
-            child=tree.child.at[
-                garange, jnp.where(need, node, V), action
-            ].set(new, mode="drop"),
             next_idx=tree.next_idx + need.astype(jnp.int32),
         )
         cid = jnp.where(need, new, cid)
@@ -106,34 +118,35 @@ def expand(game, tree: Tree, leaf, prior_nn, training: bool):
     ``--noise`` flag is dead there, the 25% mix is baked in).  Terminal
     leaves keep zero priors and get expanded = False (mcts_gpu.jl:255-257).
 
-    Returns (tree, done, result, legal) so backup can reuse the terminal
-    check (identical values; the reference recomputes isOver in backUp).
+    ``prior_nn``: [A, G].  Returns (tree, done, result) so backup can reuse
+    the terminal check (identical values; the reference recomputes isOver
+    in backUp).
     """
-    G = leaf.shape[0]
-    leaf_state = gather_states(tree.states, leaf)
+    V = tree.num_nodes
+    oh = node_onehot(V, leaf)
+    leaf_state = gather_states(tree.states, oh)
     done, result = jax.vmap(game.is_over)(leaf_state)
-    legal = jax.vmap(game.legal_mask)(leaf_state)
+    legal = jax.vmap(game.legal_mask)(leaf_state).T  # [A, G]
 
     p = jnp.where(legal, prior_nn, 0.0)
-    norm = jnp.maximum(p.sum(-1, keepdims=True), 1e-30)
+    norm = jnp.maximum(p.sum(0, keepdims=True), 1e-30)
     p_norm = p / norm
     if training:
-        a_cnt = jnp.maximum(legal.sum(-1, keepdims=True).astype(jnp.float32), 1.0)
+        a_cnt = jnp.maximum(legal.sum(0, keepdims=True).astype(jnp.float32), 1.0)
         mixed = 0.75 * p_norm + 0.25 / a_cnt * legal
-        is_root = (leaf == 0)[:, None]
+        is_root = (leaf == 0)[None, :]
         newp = jnp.where(is_root, mixed, p_norm)
     else:
         newp = p_norm
-    old = gather_node(tree.prior, leaf)
-    newp = jnp.where(done[:, None], old, newp)
+    old = gather_node(tree.prior, oh)
+    newp = jnp.where(done[None, :], old, newp)
 
-    all_g = jnp.ones(G, bool)
     tree = tree._replace(
-        expanded=scatter_node(tree.expanded, leaf, ~done, all_g),
-        prior=scatter_node(tree.prior, leaf, newp, all_g),
+        expanded=scatter_node(tree.expanded, oh, ~done),
+        prior=scatter_node(tree.prior, oh, newp),
         # expand copies prior -> policy for the first traversal
         # (mcts_gpu.jl:297-299).
-        policy=scatter_node(tree.policy, leaf, newp, all_g),
+        policy=scatter_node(tree.policy, oh, newp),
     )
     return tree, done, result
 
@@ -142,16 +155,20 @@ def backup(game, tree: Tree, leaf, value_nn, done, result):
     """Propagate the leaf value up the parent chain: per edge
     q <- running mean of (1 - value), visits += 1, value flips each ply,
     ancestors marked stale (mcts_gpu.jl:306-328)."""
-    G, V = tree.parent.shape
-    garange = jnp.arange(G)
-    leaf_player = gather_node(tree.states.player, leaf).astype(jnp.float32)
+    V = tree.num_nodes
+    A = tree.num_actions
+    act_ids = jnp.arange(A)[:, None]
+    leaf_oh = node_onehot(V, leaf)
+    leaf_player = gather_node(
+        tree.states.player, leaf_oh
+    ).astype(jnp.float32)
     value = jnp.where(
         done,
         (1.0 + leaf_player * result.astype(jnp.float32)) / 2.0,
         value_nn,
     )
-    node = gather_node(tree.parent, leaf)
-    move = gather_node(tree.action_from, leaf)
+    node = gather_node(tree.parent, leaf_oh)
+    move = gather_node(tree.action_from, leaf_oh)
 
     def cond(st):
         _, node, _, _ = st
@@ -160,18 +177,19 @@ def backup(game, tree: Tree, leaf, value_nn, done, result):
     def body(st):
         tree, node, move, value = st
         act = node >= 0
-        safe = jnp.maximum(node, 0)
-        qv = tree.q[garange, safe, move]
-        vi = tree.visits[garange, safe, move]
+        oh = node_onehot(V, node) & act[None, :]  # [V, G]
+        move_oh = act_ids == move[None, :]  # [A, G]
+        edge = oh[:, None, :] & move_oh[None]  # [V, A, G]
+        qv = jnp.where(edge, tree.q, 0.0).sum((0, 1))
+        vi = jnp.where(edge, tree.visits, 0.0).sum((0, 1))
         newq = (vi * qv + (1.0 - value)) / (vi + 1.0)
-        nodem = jnp.where(act, node, V)
         tree = tree._replace(
-            q=tree.q.at[garange, nodem, move].set(newq, mode="drop"),
-            visits=tree.visits.at[garange, nodem, move].add(1.0, mode="drop"),
-            uptodate=tree.uptodate.at[garange, nodem].set(False, mode="drop"),
+            q=jnp.where(edge, newq[None, None, :], tree.q),
+            visits=jnp.where(edge, tree.visits + 1.0, tree.visits),
+            uptodate=tree.uptodate & ~oh,
         )
-        nxt_move = tree.action_from[garange, safe]
-        nxt_node = tree.parent[garange, safe]
+        nxt_move = gather_node(tree.action_from, oh)
+        nxt_node = gather_node(tree.parent, oh)
         move = jnp.where(act, nxt_move, move)
         node = jnp.where(act, nxt_node, node)
         value = jnp.where(act, 1.0 - value, value)
@@ -199,7 +217,7 @@ def run_mcts(
     per-stage device syncs).
 
     ``probs``: optional f32[rollouts, D, G] uniform injection for tests.
-    Returns (tree, root_policy [G, A]).  The root policy is the stored policy
+    Returns (tree, root_policy [A, G]).  The root policy is the stored policy
     after the final rollout - one rollout stale, exactly like the reference's
     `copy_pol` (mcts_gpu.jl:330-339, 443).
     """
@@ -207,9 +225,8 @@ def run_mcts(
     depth_cap = min(game.max_game_length, tree.num_nodes)
     if probs is None:
         keys = jax.random.split(rng, rollouts)
-        draw = lambda k: jax.random.uniform(k, (depth_cap, G))
         xs = keys
-        get_probs = draw
+        get_probs = lambda k: jax.random.uniform(k, (depth_cap, G))
     else:
         xs = probs
         get_probs = lambda p: p
@@ -217,12 +234,15 @@ def run_mcts(
     def body(tree, x):
         p = get_probs(x)
         tree, leaf = descend(game, tree, p, cpuct)
-        enc = jax.vmap(game.encode)(gather_states(tree.states, leaf))
+        leaf_states = gather_states(
+            tree.states, node_onehot(tree.num_nodes, leaf)
+        )
+        enc = jax.vmap(game.encode)(leaf_states)  # [G, in] - batch-major
         logits, v = net_apply(params, enc)
-        prior = jax.nn.softmax(logits, axis=-1)
+        prior = jax.nn.softmax(logits, axis=-1).T  # [A, G]
         tree, done, result = expand(game, tree, leaf, prior, training)
         tree = backup(game, tree, leaf, v, done, result)
         return tree, None
 
     tree, _ = jax.lax.scan(body, tree, xs)
-    return tree, tree.policy[:, 0, :]
+    return tree, tree.policy[0]

@@ -1,18 +1,25 @@
-"""Array-resident MCTS tree storage (struct-of-arrays over [games, nodes]).
+"""Array-resident MCTS tree storage (struct-of-arrays, games-minor layout).
 
 TPU-native re-design of the reference's per-batch node pools
-(mcts_gpu.jl:35-51): every field is a dense device array with leading axes
-``[G, V]`` (G = games, V = node capacity = rollouts per move), so the whole
-tree lives in HBM and every search phase is a batched array program.
+(mcts_gpu.jl:35-51): every field is a dense device array with the *games
+axis minor* - ``[V, G]`` / ``[V, A, G]`` (G = games, V = node capacity =
+rollouts per move, A = actions) - so G fills the 128-wide VPU lanes and
+every per-node select/update is a fused masked vector op.  The
+batch-major ``[G, V, A]`` alternative pads tiny A up to the 128-lane tile
+(measured 80x slower scatters on v5e); the NN boundary stays batch-major
+``[G, features]`` as the MXU wants.
+
+Per-node game states are stored "transposed": a state leaf of single-game
+shape S lives as ``[V] + S + [G]`` so its own minor dims never hit the lane
+tile.  :func:`gather_states` / state scatters move the G axis back to the
+front for the vmapped game functions.
 
 Differences from the reference layout, by design:
 * ``childID [V, V, G]`` + ``Achild`` + ``childnbr`` (the O(V^2) indirection,
-  mcts_gpu.jl:38) collapse into one ``child [G, V, A]`` index array
-  (0 = no child; the root is node 0 and can never be a child).
-* node ids are 0-based; a null parent is -1 (the reference uses 1-based ids
-  with 0 as null, mcts_gpu.jl:318).
-* per-node game states are stored as the game's state pytree stacked over
-  [G, V] instead of an array of isbits structs.
+  mcts_gpu.jl:38) collapse into one ``child [V, A, G]`` index array
+  (0 = no child; the root is node 0 and can never be a child),
+* node ids are 0-based; a null parent is -1,
+* all selects/updates are one-hot masked ops, never serialized scatters.
 """
 from __future__ import annotations
 
@@ -23,55 +30,70 @@ import jax.numpy as jnp
 
 
 class Tree(NamedTuple):
-    parent: jnp.ndarray  # i32[G, V], -1 = none
-    action_from: jnp.ndarray  # i32[G, V]
-    expanded: jnp.ndarray  # bool[G, V]
-    uptodate: jnp.ndarray  # bool[G, V]
-    states: Any  # game-state pytree, leaves [G, V, ...]
-    prior: jnp.ndarray  # f32[G, V, A]
-    policy: jnp.ndarray  # f32[G, V, A]
-    q: jnp.ndarray  # f32[G, V, A]
-    visits: jnp.ndarray  # f32[G, V, A]
-    child: jnp.ndarray  # i32[G, V, A], 0 = none
+    parent: jnp.ndarray  # i32[V, G], -1 = none
+    action_from: jnp.ndarray  # i32[V, G]
+    expanded: jnp.ndarray  # bool[V, G]
+    uptodate: jnp.ndarray  # bool[V, G]
+    states: Any  # game-state pytree, leaves [V, *S, G]
+    prior: jnp.ndarray  # f32[V, A, G]
+    policy: jnp.ndarray  # f32[V, A, G]
+    q: jnp.ndarray  # f32[V, A, G]
+    visits: jnp.ndarray  # f32[V, A, G]
+    child: jnp.ndarray  # i32[V, A, G], 0 = none
     next_idx: jnp.ndarray  # i32[G] - next free node slot
 
     @property
     def num_games(self) -> int:
-        return self.parent.shape[0]
+        return self.parent.shape[-1]
 
     @property
     def num_nodes(self) -> int:
-        return self.parent.shape[1]
+        return self.parent.shape[0]
 
     @property
     def num_actions(self) -> int:
-        return self.prior.shape[2]
+        return self.prior.shape[1]
+
+
+def _to_tree_layout(batched_leaf):
+    """[G, *S] -> [*S, G]."""
+    return jnp.moveaxis(batched_leaf, 0, -1)
+
+
+def _to_batch_layout(tree_leaf):
+    """[*S, G] -> [G, *S]."""
+    return jnp.moveaxis(tree_leaf, -1, 0)
+
+
+def node_onehot(num_nodes: int, node: jnp.ndarray) -> jnp.ndarray:
+    """bool[V, G] selecting each game's node."""
+    return jnp.arange(num_nodes)[:, None] == node[None, :]
 
 
 def init_tree(game, positions, num_nodes: int) -> Tree:
     """Allocate a tree pool with ``positions`` (a batched state pytree with
     leading axis [G]) installed as the roots (reference `init`/`create_roots`,
     mcts_gpu.jl:42-53, 342-357)."""
-    player = positions.player
-    G = player.shape[0]
+    G = positions.player.shape[0]
     V = num_nodes
     A = game.max_actions
 
     def alloc_state(leaf):
-        out = jnp.zeros((G, V) + leaf.shape[1:], leaf.dtype)
-        return out.at[:, 0].set(leaf)
+        t = _to_tree_layout(leaf)  # [*S, G]
+        out = jnp.zeros((V,) + t.shape, t.dtype)
+        return out.at[0].set(t)
 
     return Tree(
-        parent=jnp.full((G, V), -1, jnp.int32),
-        action_from=jnp.zeros((G, V), jnp.int32),
-        expanded=jnp.zeros((G, V), bool),
-        uptodate=jnp.ones((G, V), bool),
+        parent=jnp.full((V, G), -1, jnp.int32),
+        action_from=jnp.zeros((V, G), jnp.int32),
+        expanded=jnp.zeros((V, G), bool),
+        uptodate=jnp.ones((V, G), bool),
         states=jax.tree.map(alloc_state, positions),
-        prior=jnp.zeros((G, V, A), jnp.float32),
-        policy=jnp.zeros((G, V, A), jnp.float32),
-        q=jnp.zeros((G, V, A), jnp.float32),
-        visits=jnp.zeros((G, V, A), jnp.float32),
-        child=jnp.zeros((G, V, A), jnp.int32),
+        prior=jnp.zeros((V, A, G), jnp.float32),
+        policy=jnp.zeros((V, A, G), jnp.float32),
+        q=jnp.zeros((V, A, G), jnp.float32),
+        visits=jnp.zeros((V, A, G), jnp.float32),
+        child=jnp.zeros((V, A, G), jnp.int32),
         next_idx=jnp.ones((G,), jnp.int32),
     )
 
@@ -83,7 +105,7 @@ def reset_tree(tree: Tree, positions) -> Tree:
     380-387)."""
 
     def reset_state(leaf, pos_leaf):
-        return jnp.zeros_like(leaf).at[:, 0].set(pos_leaf)
+        return jnp.zeros_like(leaf).at[0].set(_to_tree_layout(pos_leaf))
 
     return Tree(
         parent=jnp.full_like(tree.parent, -1),
@@ -100,22 +122,45 @@ def reset_tree(tree: Tree, positions) -> Tree:
     )
 
 
-# ---- batched gather/scatter over the node axis ----
+# ---- one-hot gather/select over the node axis (games stay in lanes) ----
 
 
-def gather_node(arr: jnp.ndarray, node: jnp.ndarray) -> jnp.ndarray:
-    """arr [G, V, ...] indexed per game by node [G] -> [G, ...]."""
-    idx = node.reshape((-1,) + (1,) * (arr.ndim - 1))
-    return jnp.take_along_axis(arr, idx, axis=1).squeeze(1)
+def _expand_mask(onehot: jnp.ndarray, leaf_ndim: int) -> jnp.ndarray:
+    """[V, G] -> [V, 1...1, G] broadcastable against a [V, *S, G] leaf."""
+    V, G = onehot.shape
+    return onehot.reshape((V,) + (1,) * (leaf_ndim - 2) + (G,))
 
 
-def gather_states(states, node: jnp.ndarray):
-    return jax.tree.map(lambda leaf: gather_node(leaf, node), states)
+def gather_node(arr: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """arr [V, *S, G] selected per game by onehot [V, G] -> [*S, G]."""
+    mask = _expand_mask(onehot, arr.ndim)
+    if arr.dtype == jnp.bool_:
+        return (arr & mask).any(axis=0)
+    return jnp.where(mask, arr, 0).sum(axis=0, dtype=arr.dtype)
 
 
-def scatter_node(arr: jnp.ndarray, node: jnp.ndarray, val, mask) -> jnp.ndarray:
-    """Set arr[g, node[g]] = val[g] where mask[g]; masked lanes scatter
-    out-of-bounds and are dropped."""
-    G, V = arr.shape[:2]
-    idx = jnp.where(mask, node, V)
-    return arr.at[jnp.arange(G), idx].set(val, mode="drop")
+def gather_states(states, onehot: jnp.ndarray):
+    """Tree states at each game's selected node, in batch layout [G, *S]."""
+    return jax.tree.map(
+        lambda leaf: _to_batch_layout(gather_node(leaf, onehot)), states
+    )
+
+
+def scatter_node(arr, onehot, val, mask=None):
+    """arr [V, *S, G] <- val [*S, G] at each game's one-hot node; ``mask``
+    [G] optionally gates which games write."""
+    sel = _expand_mask(onehot, arr.ndim)
+    if mask is not None:
+        sel = sel & mask[None]
+    return jnp.where(sel, val[None], arr)
+
+
+def scatter_states(states, onehot, new_states, mask=None):
+    """Write batch-layout states [G, *S] into the tree at one-hot slots."""
+    return jax.tree.map(
+        lambda leaf, new: scatter_node(
+            leaf, onehot, _to_tree_layout(new), mask
+        ),
+        states,
+        new_states,
+    )

@@ -86,9 +86,11 @@ def selfplay_generation(
         player_t = positions.player
         alive = ~done
 
-        u = jax.random.uniform(k_samp, (G,)) * pol.sum(-1)
+        # pol is [A, G] (games-minor); sampling matches the reference's
+        # Weights() draw: uniform * total mass, CDF walk.
+        u = jax.random.uniform(k_samp, (G,)) * pol.sum(0)
         sampled = cdf_sample(pol, u)
-        greedy = jnp.argmax(pol, axis=-1).astype(jnp.int32)
+        greedy = jnp.argmax(pol, axis=0).astype(jnp.int32)
         action = jnp.where(t < cfg.temp_moves, sampled, greedy)
 
         legal = jax.vmap(game.legal_mask)(positions)
@@ -124,7 +126,8 @@ def selfplay_generation(
     (positions, done, result, fin_t, illegal, _, _), outs = jax.lax.scan(
         move_body, init, jnp.arange(T)
     )
-    enc_s, pol_s, player_s, alive_s = outs  # [T, G, ...]
+    enc_s, pol_s, player_s, alive_s = outs  # enc [T,G,in], pol [T,A,G]
+    pol_s = jnp.moveaxis(pol_s, 1, 2)  # -> [T, G, A] for row-major buffer
 
     final_feat = jax.vmap(game.final_feature)(positions)  # [G, fsize]
     res_f = result.astype(jnp.float32)

@@ -1,0 +1,76 @@
+"""Benchmark: selfplay throughput on the reference's headline workload shape.
+
+Runs one Connect-4 selfplay generation - 64 MCTS rollouts per move, the
+reference 512x4 net - at the largest game batch that fits, and reports
+env-steps/s (game moves decided per second, each backed by a full 64-rollout
+search).  Prints ONE JSON line.
+
+The reference publishes no absolute throughput (BASELINE.md), so
+``vs_baseline`` is reported against the fixed anchor below once we have
+measured rounds to compare; round 1 establishes the number.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+
+
+def main():
+    games = int(os.environ.get("BENCH_GAMES", 16384))
+    rollouts = int(os.environ.get("BENCH_ROLLOUTS", 64))
+
+    from alphatpu.buffer import create_buffer
+    from alphatpu.games import make_game
+    from alphatpu.nets import apply_inference, config_for_game, init_params
+    from alphatpu.selfplay import SelfplayConfig, selfplay_generation
+
+    game = make_game("connect4")
+    params = init_params(jax.random.key(0), config_for_game(game))
+    cfg = SelfplayConfig(num_games=games, rollouts=rollouts, cpuct=1.5)
+    buf = create_buffer(game, capacity=2_000_000)
+
+    run = jax.jit(selfplay_generation, static_argnums=(0, 1, 5))
+
+    # compile (excluded from timing)
+    buf2, stats = run(game, apply_inference, params, buf, jax.random.key(1), cfg)
+    jax.block_until_ready(stats["wins"])
+
+    t0 = time.time()
+    buf2, stats = run(game, apply_inference, params, buf, jax.random.key(2), cfg)
+    stats = jax.device_get(stats)
+    dt = time.time() - t0
+
+    # env-steps: every (game, move) with the game still alive got a full
+    # 64-rollout decision; that count equals samples_written (+ alive moves
+    # of unfinished games, negligible).
+    env_steps = float(stats["samples_written"])
+    steps_per_s = env_steps / dt
+    rollouts_per_s = steps_per_s * rollouts
+
+    # Anchor: measured on this framework's round-1 build (TPU v5e-1,
+    # 16384 games x 64 rollouts). Update only if the anchor hardware changes.
+    anchor = float(os.environ.get("BENCH_ANCHOR_STEPS_PER_S", 0)) or None
+    result = {
+        "metric": f"selfplay_env_steps_per_s_connect4_g{games}_r{rollouts}",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / anchor, 3) if anchor else None,
+        "extra": {
+            "wall_s": round(dt, 2),
+            "rollouts_per_s": round(rollouts_per_s, 1),
+            "games": games,
+            "rollouts": rollouts,
+            "mean_game_length": round(float(stats["mean_length"]), 2),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,9 +42,9 @@ def test_regularized_policy_matches_scalar(rng):
 
     got = np.asarray(
         jax.jit(regularized_policy)(
-            jnp.asarray(prior), jnp.asarray(q), jnp.asarray(visits), 1.5
+            jnp.asarray(prior.T), jnp.asarray(q.T), jnp.asarray(visits.T), 1.5
         )
-    )
+    ).T
     for g in range(G):
         want = scalar_reg_policy(prior[g], q[g], visits[g], 1.5)
         np.testing.assert_allclose(got[g], want, rtol=2e-3, atol=1e-5)
@@ -56,9 +56,9 @@ def test_regularized_policy_matches_scalar(rng):
     q2 = (rng.random((G, A)) * 0.9).astype(np.float32)
     got2 = np.asarray(
         jax.jit(regularized_policy)(
-            jnp.asarray(prior), jnp.asarray(q2), jnp.asarray(visits), 2.0
+            jnp.asarray(prior.T), jnp.asarray(q2.T), jnp.asarray(visits.T), 2.0
         )
-    )
+    ).T
     for g in range(G):
         want = scalar_reg_policy(prior[g], q2[g], visits[g], 2.0)
         np.testing.assert_allclose(got2[g], want, rtol=2e-3, atol=1e-5)
@@ -71,7 +71,7 @@ def test_cdf_sample_matches_scalar(rng):
     pi[:, 3] = np.maximum(pi[:, 3], 0.01)
     pi /= pi.sum(-1, keepdims=True)
     prob = rng.random(G, dtype=np.float32)
-    got = np.asarray(jax.jit(cdf_sample)(jnp.asarray(pi), jnp.asarray(prob)))
+    got = np.asarray(jax.jit(cdf_sample)(jnp.asarray(pi.T), jnp.asarray(prob)))
     for g in range(G):
         assert got[g] == scalar_mcts.cdf_pick(pi[g], prob[g]), g
         assert pi[g, got[g]] > 0
@@ -178,21 +178,21 @@ def test_search_matches_scalar_twin(name, oracle_cls, training, rng):
         nodes, pol = twin.search(roots_np[g], probs[:, :, g])
         assert int(tree.next_idx[g]) == len(nodes), f"game {g} node count"
         for i, node in enumerate(nodes):
-            assert int(tree.parent[g, i]) == node.parent, (g, i)
+            assert int(tree.parent[i, g]) == node.parent, (g, i)
             if i > 0:
-                assert int(tree.action_from[g, i]) == node.action_from, (g, i)
-            assert bool(tree.expanded[g, i]) == node.expanded, (g, i)
+                assert int(tree.action_from[i, g]) == node.action_from, (g, i)
+            assert bool(tree.expanded[i, g]) == node.expanded, (g, i)
             np.testing.assert_array_equal(
-                tree.visits[g, i], node.visits, err_msg=f"visits {g} {i}"
+                tree.visits[i, :, g], node.visits, err_msg=f"visits {g} {i}"
             )
             np.testing.assert_allclose(
-                tree.q[g, i], node.q, rtol=2e-3, atol=1e-5,
+                tree.q[i, :, g], node.q, rtol=2e-3, atol=1e-5,
                 err_msg=f"q {g} {i}",
             )
             for a, c in node.child.items():
-                assert int(tree.child[g, i, a]) == c, (g, i, a)
+                assert int(tree.child[i, a, g]) == c, (g, i, a)
         np.testing.assert_allclose(
-            root_pi[g], pol, rtol=5e-3, atol=1e-5, err_msg=f"policy {g}"
+            root_pi[:, g], pol, rtol=5e-3, atol=1e-5, err_msg=f"policy {g}"
         )
 
 
@@ -217,7 +217,7 @@ def test_visit_conservation_with_real_net(rng):
         )
 
     tree, root_pi = run(tree0, jax.random.key(2))
-    visits = np.asarray(tree.visits[:, 0, :])
+    visits = np.asarray(tree.visits[0]).T  # [G, A]
     np.testing.assert_array_equal(visits.sum(-1), np.full(G, R - 1))
     # every visited root action is legal
     legal = np.asarray(jax.vmap(game.legal_mask)(positions))
@@ -226,4 +226,4 @@ def test_visit_conservation_with_real_net(rng):
     q = np.asarray(tree.q)
     assert q.min() >= 0.0 and q.max() <= 1.0
     # policies are near-distributions
-    assert np.all(np.abs(np.asarray(root_pi).sum(-1) - 1.0) < 0.05)
+    assert np.all(np.abs(np.asarray(root_pi).sum(0) - 1.0) < 0.05)

@@ -41,7 +41,7 @@ def test_two_generations_and_checkpoint(tmp_path):
 
     state, stats2 = run_generation(game, state, cfg)
     assert stats2["generation"] == 2
-    assert int(np.asarray(state.buffer.total)) > 100
+    assert int(np.asarray(state.buffer.total)[0]) > 100
 
     # checkpoint roundtrip
     manifest_path = os.path.join(cfg.ckpt_dir, "latest.json")
