@@ -1,24 +1,39 @@
-"""Batched MCTS phases: descend / expand / backup, and the rollout loop.
+"""Batched MCTS phases: policy refresh / descend / expand / backup.
 
 TPU-native re-design of the reference's GPU kernels.  The reference runs one
 CUDA thread per game with divergent control flow (mcts_gpu.jl:100-199); TPUs
 have no per-lane divergence, so each phase is a *lockstep* array program over
 all games with active-lane masking, in the games-minor layout of
-:mod:`alphatpu.mcts.tree` (G fills the VPU lanes; every per-node read/write
-is a fused one-hot masked op, never a serialized scatter):
+:mod:`alphatpu.mcts.tree` (G fills the VPU lanes).
 
-* descend: a ``lax.while_loop`` over tree depth - all games step one edge per
-  iteration until every game sits at an unexpanded leaf (kdescendTree!,
-  mcts_gpu.jl:100-199),
-* expand: one batched legal-mask + prior write (mcts_gpu.jl:250-302),
-* backup: a ``lax.while_loop`` up the parent chains (mcts_gpu.jl:306-328),
+Phase structure per rollout (a restructuring of the reference's
+descend/expand/backup for array hardware - identical semantics, very
+different data movement):
+
+* **refresh**: the regularized-policy Newton solve (the reference's stated
+  bottleneck, README.md:81) runs ONCE per rollout for every stale node
+  simultaneously - ``[A, V*G]`` lanes - instead of per depth-step inside
+  the walk (kdescendTree!, mcts_gpu.jl:114-169).  Identical results: a
+  stale node's (prior, q, visits) only change via backup, which re-marks
+  it stale, so refreshing early computes exactly what the reference's
+  lazy in-walk recompute would.
+* **descend**: a READ-ONLY ``lax.while_loop`` over tree depth - all games
+  step one edge per iteration until every game hits an unexpanded node or
+  a missing edge (mcts_gpu.jl:170-195).  The traversed path is recorded as
+  ``[D, G]`` edge lists; no tree mutation per depth step.
+* **expand**: allocates at most one node per game (the reference allocates
+  inside the walk, mcts_gpu.jl:183-191 - same ids, same order), then one
+  batched legal-mask + prior write (mcts_gpu.jl:250-302),
+* **backup**: walks the RECORDED path (not parent pointers) updating each
+  edge's (q, visits) with the parity-flipped leaf value - pure elementwise
+  masked updates, no gathers (backUp, mcts_gpu.jl:306-328).
 * the rollout loop is a ``lax.scan``; the NN evaluates all G leaves in one
   in-graph batch-major forward per rollout (mcts_gpu.jl:396-439) - no host
   syncs anywhere.
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -34,13 +49,44 @@ from .tree import (
 )
 
 
-def descend(game, tree: Tree, probs, cpuct):
-    """Walk every game from its root to an unexpanded leaf, lazily allocating
-    at most one child per game, and return (tree, leaf_indices [G]).
+def refresh_policies(tree: Tree, cpuct) -> Tree:
+    """Recompute the regularized policy for every stale node in one batched
+    Newton solve (lanes = all (node, game) pairs), then mark everything
+    up to date.  Matches the reference's lazy per-visit recompute
+    (mcts_gpu.jl:114-169) because stats can't change between the backup
+    that staled a node and its next traversal."""
+    stale = tree.expanded & ~tree.uptodate  # [V, G]
+    prior = jnp.moveaxis(tree.prior, 1, 0)  # [A, V, G]
+    q = jnp.moveaxis(tree.q, 1, 0)
+    visits = jnp.moveaxis(tree.visits, 1, 0)
+    pi = regularized_policy(prior, q, visits, cpuct)  # [A, V, G]
+    policy = jnp.where(stale[:, None, :], jnp.moveaxis(pi, 0, 1), tree.policy)
+    return tree._replace(
+        policy=policy, uptodate=jnp.ones_like(tree.uptodate)
+    )
+
+
+class Path(NamedTuple):
+    """Edges traversed this rollout: entry d is the edge taken at depth d
+    (-1 node id = lane recorded nothing at that depth)."""
+
+    nodes: jnp.ndarray  # i32[D, G]
+    actions: jnp.ndarray  # i32[D, G]
+    length: jnp.ndarray  # i32[G] - number of recorded edges
+
+
+def descend(game, tree: Tree, probs):
+    """Walk every game from its root to a leaf following the (pre-refreshed)
+    stored policies.  Read-only over the tree.
 
     ``probs``: f32[D, G] pre-drawn uniforms, indexed by depth - mirroring the
     reference's per-rollout ``CUDA.rand(maxLengthGame, L)`` draw
     (mcts_gpu.jl:397) and enabling exact-stream injection in tests.
+
+    Returns ``(path, leaf_node, leaf_parent, leaf_action, needs_alloc)``:
+    * ``needs_alloc`` lanes sampled an edge with no child yet - the leaf is
+      the to-be-allocated node under (leaf_parent, leaf_action),
+    * other lanes stopped at the existing unexpanded node ``leaf_node``.
     """
     V = tree.num_nodes
     A = tree.num_actions
@@ -49,84 +95,97 @@ def descend(game, tree: Tree, probs, cpuct):
     act_ids = jnp.arange(A)[:, None]  # [A, 1]
 
     def cond(st):
-        tree, node, depth = st
-        oh = node_onehot(V, node)
-        return jnp.any(gather_node(tree.expanded, oh)) & (depth < max_depth)
+        _, found, depth, *_ = st
+        return jnp.any(~found) & (depth < max_depth)
 
     def body(st):
-        tree, node, depth = st
-        prob = probs[depth]
+        node, found, depth, leaf_action, needs_alloc, pnodes, pactions = st
         oh = node_onehot(V, node)  # [V, G]
-        active = gather_node(tree.expanded, oh)  # [G]
-        utd = gather_node(tree.uptodate, oh)
-        prior = gather_node(tree.prior, oh)  # [A, G]
-        q = gather_node(tree.q, oh)
-        visits = gather_node(tree.visits, oh)
-        stored_pi = gather_node(tree.policy, oh)
-
-        # Recompute the regularized policy where stats went stale since the
-        # last traversal (mcts_gpu.jl:114-169); first traversals reuse the
-        # stored policy (= prior right after expansion).
-        pi_new = regularized_policy(prior, q, visits, cpuct)
-        pi = jnp.where(utd[None, :], stored_pi, pi_new)
-        refresh = active & ~utd
-        tree = tree._replace(
-            policy=scatter_node(tree.policy, oh, pi, refresh),
-            # Pure optimization over the reference (which recomputes every
-            # traversal): stats only change via backup, which re-marks stale.
-            uptodate=scatter_node(
-                tree.uptodate, oh, jnp.ones((G,), bool), refresh
-            ),
-        )
-
-        action = cdf_sample(pi, prob)  # [G]
-        act_oh = act_ids == action[None, :]  # [A, G]
-
-        # Lazy child allocation (mcts_gpu.jl:183-191).
-        cid = gather_node(tree.child, oh) * act_oh
-        cid = cid.sum(0)  # [G] - child id at (node, action), 0 = none
-        need = active & (cid == 0)
-        new = tree.next_idx
-        slot_oh = node_onehot(V, new) & need[None, :]  # masked slot one-hot
-        cur_state = gather_states(tree.states, oh)
-        new_state = jax.vmap(game.play)(cur_state, action)
-
-        tree = tree._replace(
-            parent=scatter_node(tree.parent, slot_oh, node),
-            action_from=scatter_node(tree.action_from, slot_oh, action),
-            states=scatter_states(tree.states, slot_oh, new_state),
-            child=jnp.where(
-                (oh[:, None, :] & act_oh[None] & need[None, None, :]),
-                new[None, None, :],
-                tree.child,
-            ),
-            next_idx=tree.next_idx + need.astype(jnp.int32),
-        )
-        cid = jnp.where(need, new, cid)
-        node = jnp.where(active, cid, node)
-        return tree, node, depth + 1
+        exp = gather_node(tree.expanded, oh)  # [G]
+        live = ~found & exp  # lanes stepping one edge now
+        pi = gather_node(tree.policy, oh)  # [A, G]
+        action = cdf_sample(pi, probs[depth])  # [G]
+        pnodes = pnodes.at[depth].set(jnp.where(live, node, -1))
+        pactions = pactions.at[depth].set(action)
+        cid = (gather_node(tree.child, oh) * (act_ids == action[None])).sum(0)
+        hit_missing = live & (cid == 0)
+        leaf_action = jnp.where(hit_missing, action, leaf_action)
+        needs_alloc = needs_alloc | hit_missing
+        found = found | ~exp | hit_missing
+        node = jnp.where(live & (cid > 0), cid, node)
+        return node, found, depth + 1, leaf_action, needs_alloc, pnodes, pactions
 
     node0 = jnp.zeros((G,), jnp.int32)
-    tree, leaf, _ = jax.lax.while_loop(cond, body, (tree, node0, jnp.int32(0)))
-    return tree, leaf
+    init = (
+        node0,
+        jnp.zeros((G,), bool),
+        jnp.int32(0),
+        jnp.zeros((G,), jnp.int32),
+        jnp.zeros((G,), bool),
+        jnp.full((max_depth, G), -1, jnp.int32),
+        jnp.zeros((max_depth, G), jnp.int32),
+    )
+    node, _, _, leaf_action, needs_alloc, pnodes, pactions = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    path = Path(pnodes, pactions, (pnodes >= 0).sum(0).astype(jnp.int32))
+    # node is the final position: the unexpanded leaf itself, or the parent
+    # of the to-be-allocated child.
+    return path, node, leaf_action, needs_alloc
 
 
-def expand(game, tree: Tree, leaf, prior_nn, training: bool):
-    """Write masked, normalized priors at each game's leaf; at the root
-    during training mix 0.75 * p + 0.25 * uniform-over-legal - the hard-coded
-    exploration mix of the reference (mcts_gpu.jl:270-280; NB the CLI
-    ``--noise`` flag is dead there, the 25% mix is baked in).  Terminal
-    leaves keep zero priors and get expanded = False (mcts_gpu.jl:255-257).
+def leaf_positions(game, tree: Tree, node, leaf_action, needs_alloc):
+    """Batch-layout states the NN will evaluate: the stored state at the
+    existing leaf, or play(parent_state, action) for lanes allocating a new
+    child (the reference plays on-device at allocation, mcts_gpu.jl:186)."""
+    oh = node_onehot(tree.num_nodes, node)
+    state = gather_states(tree.states, oh)  # [G, *S]
+    played = jax.vmap(game.play)(state, leaf_action)
+    return jax.tree.map(
+        lambda ex, pl: jnp.where(
+            needs_alloc.reshape((-1,) + (1,) * (pl.ndim - 1)), pl, ex
+        ),
+        state,
+        played,
+    )
 
-    ``prior_nn``: [A, G].  Returns (tree, done, result) so backup can reuse
-    the terminal check (identical values; the reference recomputes isOver
-    in backUp).
+
+def expand(game, tree: Tree, node, leaf_action, needs_alloc, leaf_states,
+           prior_nn, training: bool):
+    """Allocate the new children (same ids and order as the reference's
+    in-walk `newindex` counter, mcts_gpu.jl:184), then write masked,
+    normalized priors at each game's leaf; at the root during training mix
+    0.75 * p + 0.25 * uniform-over-legal - the hard-coded exploration mix of
+    the reference (mcts_gpu.jl:270-280; NB the CLI ``--noise`` flag is dead
+    there, the 25% mix is baked in).  Terminal leaves keep zero priors and
+    get expanded = False (mcts_gpu.jl:255-257).
+
+    ``prior_nn``: [A, G].  Returns (tree, leaf, done, result).
     """
     V = tree.num_nodes
+    A = tree.num_actions
+    act_ids = jnp.arange(A)[:, None]
+
+    new = tree.next_idx
+    slot_oh = node_onehot(V, new) & needs_alloc[None, :]
+    parent_oh = node_onehot(V, node)
+    act_oh = act_ids == leaf_action[None, :]  # [A, G]
+    tree = tree._replace(
+        parent=scatter_node(tree.parent, slot_oh, node),
+        action_from=scatter_node(tree.action_from, slot_oh, leaf_action),
+        states=scatter_states(tree.states, slot_oh, leaf_states),
+        child=jnp.where(
+            parent_oh[:, None, :] & act_oh[None] & needs_alloc[None, None, :],
+            new[None, None, :],
+            tree.child,
+        ),
+        next_idx=tree.next_idx + needs_alloc.astype(jnp.int32),
+    )
+    leaf = jnp.where(needs_alloc, new, node)
+
     oh = node_onehot(V, leaf)
-    leaf_state = gather_states(tree.states, oh)
-    done, result = jax.vmap(game.is_over)(leaf_state)
-    legal = jax.vmap(game.legal_mask)(leaf_state).T  # [A, G]
+    done, result = jax.vmap(game.is_over)(leaf_states)
+    legal = jax.vmap(game.legal_mask)(leaf_states).T  # [A, G]
 
     p = jnp.where(legal, prior_nn, 0.0)
     norm = jnp.maximum(p.sum(0, keepdims=True), 1e-30)
@@ -148,54 +207,51 @@ def expand(game, tree: Tree, leaf, prior_nn, training: bool):
         # (mcts_gpu.jl:297-299).
         policy=scatter_node(tree.policy, oh, newp),
     )
-    return tree, done, result
+    return tree, leaf, done, result
 
 
-def backup(game, tree: Tree, leaf, value_nn, done, result):
-    """Propagate the leaf value up the parent chain: per edge
-    q <- running mean of (1 - value), visits += 1, value flips each ply,
-    ancestors marked stale (mcts_gpu.jl:306-328)."""
+def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result):
+    """Update every edge on the recorded path: per edge q <- running mean of
+    the parity-flipped leaf value, visits += 1, path nodes marked stale
+    (backUp, mcts_gpu.jl:306-328).  The edge at depth d (leaf edge =
+    depth len-1) receives ``1 - flip^(len-1-d)(leaf_value)``; since all
+    path edges are distinct tree edges, every update is an independent
+    masked elementwise op - no gathers, no parent-pointer chasing."""
     V = tree.num_nodes
     A = tree.num_actions
     act_ids = jnp.arange(A)[:, None]
-    leaf_oh = node_onehot(V, leaf)
-    leaf_player = gather_node(
-        tree.states.player, leaf_oh
-    ).astype(jnp.float32)
-    value = jnp.where(
+    leaf_value = jnp.where(
         done,
-        (1.0 + leaf_player * result.astype(jnp.float32)) / 2.0,
+        (1.0 + leaf_player.astype(jnp.float32) * result.astype(jnp.float32))
+        / 2.0,
         value_nn,
     )
-    node = gather_node(tree.parent, leaf_oh)
-    move = gather_node(tree.action_from, leaf_oh)
+    max_len = jnp.max(path.length)
 
     def cond(st):
-        _, node, _, _ = st
-        return jnp.any(node >= 0)
+        _, d = st
+        return d < max_len
 
     def body(st):
-        tree, node, move, value = st
-        act = node >= 0
-        oh = node_onehot(V, node) & act[None, :]  # [V, G]
-        move_oh = act_ids == move[None, :]  # [A, G]
-        edge = oh[:, None, :] & move_oh[None]  # [V, A, G]
-        qv = jnp.where(edge, tree.q, 0.0).sum((0, 1))
-        vi = jnp.where(edge, tree.visits, 0.0).sum((0, 1))
-        newq = (vi * qv + (1.0 - value)) / (vi + 1.0)
+        tree, d = st
+        nodes = path.nodes[d]
+        actions = path.actions[d]
+        valid = nodes >= 0
+        k = path.length - 1 - d  # flips between this edge and the leaf
+        contrib = jnp.where(k % 2 == 0, 1.0 - leaf_value, leaf_value)
+        oh = node_onehot(V, nodes) & valid[None, :]
+        edge = oh[:, None, :] & (act_ids == actions[None, :])[None]
+        newq = (tree.visits * tree.q + contrib[None, None, :]) / (
+            tree.visits + 1.0
+        )
         tree = tree._replace(
-            q=jnp.where(edge, newq[None, None, :], tree.q),
+            q=jnp.where(edge, newq, tree.q),
             visits=jnp.where(edge, tree.visits + 1.0, tree.visits),
             uptodate=tree.uptodate & ~oh,
         )
-        nxt_move = gather_node(tree.action_from, oh)
-        nxt_node = gather_node(tree.parent, oh)
-        move = jnp.where(act, nxt_move, move)
-        node = jnp.where(act, nxt_node, node)
-        value = jnp.where(act, 1.0 - value, value)
-        return tree, node, move, value
+        return tree, d + 1
 
-    tree, _, _, _ = jax.lax.while_loop(cond, body, (tree, node, move, value))
+    tree, _ = jax.lax.while_loop(cond, body, (tree, jnp.int32(0)))
     return tree
 
 
@@ -212,9 +268,9 @@ def run_mcts(
     probs=None,
 ):
     """One full search over all games for the current move: ``rollouts`` x
-    (descend -> batched NN forward -> expand -> backup) as a lax.scan
-    (the reference's host rollout loop, mcts_gpu.jl:376-462, minus its five
-    per-stage device syncs).
+    (refresh -> descend -> batched NN forward -> expand -> backup) as a
+    lax.scan (the reference's host rollout loop, mcts_gpu.jl:376-462, minus
+    its five per-stage device syncs).
 
     ``probs``: optional f32[rollouts, D, G] uniform injection for tests.
     Returns (tree, root_policy [A, G]).  The root policy is the stored policy
@@ -233,15 +289,19 @@ def run_mcts(
 
     def body(tree, x):
         p = get_probs(x)
-        tree, leaf = descend(game, tree, p, cpuct)
-        leaf_states = gather_states(
-            tree.states, node_onehot(tree.num_nodes, leaf)
-        )
+        tree = refresh_policies(tree, cpuct)
+        path, node, leaf_action, needs_alloc = descend(game, tree, p)
+        leaf_states = leaf_positions(game, tree, node, leaf_action, needs_alloc)
         enc = jax.vmap(game.encode)(leaf_states)  # [G, in] - batch-major
         logits, v = net_apply(params, enc)
         prior = jax.nn.softmax(logits, axis=-1).T  # [A, G]
-        tree, done, result = expand(game, tree, leaf, prior, training)
-        tree = backup(game, tree, leaf, v, done, result)
+        tree, leaf, done, result = expand(
+            game, tree, node, leaf_action, needs_alloc, leaf_states, prior,
+            training,
+        )
+        tree = backup(
+            tree, path, leaf_states.player, v, done, result
+        )
         return tree, None
 
     tree, _ = jax.lax.scan(body, tree, xs)

@@ -35,9 +35,12 @@ def main():
 
     run = jax.jit(selfplay_generation, static_argnums=(0, 1, 5))
 
-    # compile (excluded from timing)
+    # compile + warm run (excluded from timing).  NB: device_get, not
+    # block_until_ready - the axon tunnel backend's block_until_ready
+    # returns before execution finishes, silently folding server-side
+    # compile time into the timed region.
     buf2, stats = run(game, apply_inference, params, buf, jax.random.key(1), cfg)
-    jax.block_until_ready(stats["wins"])
+    jax.device_get(stats["wins"])
 
     t0 = time.time()
     buf2, stats = run(game, apply_inference, params, buf, jax.random.key(2), cfg)
