@@ -42,9 +42,11 @@ from .newton import cdf_sample, regularized_policy
 from .tree import (
     Tree,
     gather_node,
+    gather_stat,
     gather_states,
     node_onehot,
     scatter_node,
+    scatter_stat,
     scatter_states,
 )
 
@@ -54,13 +56,23 @@ def refresh_policies(tree: Tree, cpuct) -> Tree:
     Newton solve (lanes = all (node, game) pairs), then mark everything
     up to date.  Matches the reference's lazy per-visit recompute
     (mcts_gpu.jl:114-169) because stats can't change between the backup
-    that staled a node and its next traversal."""
+    that staled a node and its next traversal.
+
+    On TPU with a lane-aligned batch the solve runs as a VMEM-resident
+    Pallas kernel (the iteration loop costs no HBM traffic); the pure-jnp
+    path is the fallback and the numerical reference."""
+    from .pallas_kernels import refresh_policies_pallas, refresh_supported
+
     stale = tree.expanded & ~tree.uptodate  # [V, G]
-    prior = jnp.moveaxis(tree.prior, 1, 0)  # [A, V, G]
-    q = jnp.moveaxis(tree.q, 1, 0)
-    visits = jnp.moveaxis(tree.visits, 1, 0)
-    pi = regularized_policy(prior, q, visits, cpuct)  # [A, V, G]
-    policy = jnp.where(stale[:, None, :], jnp.moveaxis(pi, 0, 1), tree.policy)
+    if refresh_supported(tree.num_games, tree.num_nodes):
+        policy = refresh_policies_pallas(
+            tree.prior, tree.q, tree.visits, tree.policy, stale, float(cpuct)
+        )
+    else:
+        # stats are action-major [A, V, G]: the solve reduces over axis 0
+        # with no data movement.
+        pi = regularized_policy(tree.prior, tree.q, tree.visits, cpuct)
+        policy = jnp.where(stale[None], pi, tree.policy)
     return tree._replace(
         policy=policy, uptodate=jnp.ones_like(tree.uptodate)
     )
@@ -103,11 +115,11 @@ def descend(game, tree: Tree, probs):
         oh = node_onehot(V, node)  # [V, G]
         exp = gather_node(tree.expanded, oh)  # [G]
         live = ~found & exp  # lanes stepping one edge now
-        pi = gather_node(tree.policy, oh)  # [A, G]
+        pi = gather_stat(tree.policy, oh)  # [A, G]
         action = cdf_sample(pi, probs[depth])  # [G]
         pnodes = pnodes.at[depth].set(jnp.where(live, node, -1))
         pactions = pactions.at[depth].set(action)
-        cid = (gather_node(tree.child, oh) * (act_ids == action[None])).sum(0)
+        cid = (gather_stat(tree.child, oh) * (act_ids == action[None])).sum(0)
         hit_missing = live & (cid == 0)
         leaf_action = jnp.where(hit_missing, action, leaf_action)
         needs_alloc = needs_alloc | hit_missing
@@ -175,7 +187,7 @@ def expand(game, tree: Tree, node, leaf_action, needs_alloc, leaf_states,
         action_from=scatter_node(tree.action_from, slot_oh, leaf_action),
         states=scatter_states(tree.states, slot_oh, leaf_states),
         child=jnp.where(
-            parent_oh[:, None, :] & act_oh[None] & needs_alloc[None, None, :],
+            act_oh[:, None, :] & parent_oh[None] & needs_alloc[None, None, :],
             new[None, None, :],
             tree.child,
         ),
@@ -197,15 +209,15 @@ def expand(game, tree: Tree, node, leaf_action, needs_alloc, leaf_states,
         newp = jnp.where(is_root, mixed, p_norm)
     else:
         newp = p_norm
-    old = gather_node(tree.prior, oh)
+    old = gather_stat(tree.prior, oh)
     newp = jnp.where(done[None, :], old, newp)
 
     tree = tree._replace(
         expanded=scatter_node(tree.expanded, oh, ~done),
-        prior=scatter_node(tree.prior, oh, newp),
+        prior=scatter_stat(tree.prior, oh, newp),
         # expand copies prior -> policy for the first traversal
         # (mcts_gpu.jl:297-299).
-        policy=scatter_node(tree.policy, oh, newp),
+        policy=scatter_stat(tree.policy, oh, newp),
     )
     return tree, leaf, done, result
 
@@ -240,7 +252,7 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result):
         k = path.length - 1 - d  # flips between this edge and the leaf
         contrib = jnp.where(k % 2 == 0, 1.0 - leaf_value, leaf_value)
         oh = node_onehot(V, nodes) & valid[None, :]
-        edge = oh[:, None, :] & (act_ids == actions[None, :])[None]
+        edge = (act_ids == actions[None, :])[:, None, :] & oh[None]
         newq = (tree.visits * tree.q + contrib[None, None, :]) / (
             tree.visits + 1.0
         )
@@ -305,4 +317,4 @@ def run_mcts(
         return tree, None
 
     tree, _ = jax.lax.scan(body, tree, xs)
-    return tree, tree.policy[0]
+    return tree, tree.policy[:, 0]  # root policy [A, G]

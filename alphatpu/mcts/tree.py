@@ -2,12 +2,15 @@
 
 TPU-native re-design of the reference's per-batch node pools
 (mcts_gpu.jl:35-51): every field is a dense device array with the *games
-axis minor* - ``[V, G]`` / ``[V, A, G]`` (G = games, V = node capacity =
-rollouts per move, A = actions) - so G fills the 128-wide VPU lanes and
-every per-node select/update is a fused masked vector op.  The
-batch-major ``[G, V, A]`` alternative pads tiny A up to the 128-lane tile
-(measured 80x slower scatters on v5e); the NN boundary stays batch-major
-``[G, features]`` as the MXU wants.
+axis minor* so G fills the 128-wide VPU lanes and every per-node
+select/update is a fused masked vector op.  Per-node scalars are ``[V, G]``
+(V = node capacity = rollouts per move); per-edge stats are ``[A, V, G]``
+(A = actions) - action-major so that (a) the regularized-policy solve
+reduces over the *leading* axis with no transposes and (b) the Pallas
+refresh kernel's per-action slices are contiguous (V, G) tiles on the
+(sublane, lane) grid.  The batch-major ``[G, V, A]`` alternative pads tiny
+A up to the 128-lane tile (measured 80x slower scatters on v5e); the NN
+boundary stays batch-major ``[G, features]`` as the MXU wants.
 
 Per-node game states are stored "transposed": a state leaf of single-game
 shape S lives as ``[V] + S + [G]`` so its own minor dims never hit the lane
@@ -16,7 +19,7 @@ front for the vmapped game functions.
 
 Differences from the reference layout, by design:
 * ``childID [V, V, G]`` + ``Achild`` + ``childnbr`` (the O(V^2) indirection,
-  mcts_gpu.jl:38) collapse into one ``child [V, A, G]`` index array
+  mcts_gpu.jl:38) collapse into one ``child [A, V, G]`` index array
   (0 = no child; the root is node 0 and can never be a child),
 * node ids are 0-based; a null parent is -1,
 * all selects/updates are one-hot masked ops, never serialized scatters.
@@ -35,11 +38,11 @@ class Tree(NamedTuple):
     expanded: jnp.ndarray  # bool[V, G]
     uptodate: jnp.ndarray  # bool[V, G]
     states: Any  # game-state pytree, leaves [V, *S, G]
-    prior: jnp.ndarray  # f32[V, A, G]
-    policy: jnp.ndarray  # f32[V, A, G]
-    q: jnp.ndarray  # f32[V, A, G]
-    visits: jnp.ndarray  # f32[V, A, G]
-    child: jnp.ndarray  # i32[V, A, G], 0 = none
+    prior: jnp.ndarray  # f32[A, V, G]
+    policy: jnp.ndarray  # f32[A, V, G]
+    q: jnp.ndarray  # f32[A, V, G]
+    visits: jnp.ndarray  # f32[A, V, G]
+    child: jnp.ndarray  # i32[A, V, G], 0 = none
     next_idx: jnp.ndarray  # i32[G] - next free node slot
 
     @property
@@ -52,7 +55,7 @@ class Tree(NamedTuple):
 
     @property
     def num_actions(self) -> int:
-        return self.prior.shape[1]
+        return self.prior.shape[0]
 
 
 def _to_tree_layout(batched_leaf):
@@ -89,11 +92,11 @@ def init_tree(game, positions, num_nodes: int) -> Tree:
         expanded=jnp.zeros((V, G), bool),
         uptodate=jnp.ones((V, G), bool),
         states=jax.tree.map(alloc_state, positions),
-        prior=jnp.zeros((V, A, G), jnp.float32),
-        policy=jnp.zeros((V, A, G), jnp.float32),
-        q=jnp.zeros((V, A, G), jnp.float32),
-        visits=jnp.zeros((V, A, G), jnp.float32),
-        child=jnp.zeros((V, A, G), jnp.int32),
+        prior=jnp.zeros((A, V, G), jnp.float32),
+        policy=jnp.zeros((A, V, G), jnp.float32),
+        q=jnp.zeros((A, V, G), jnp.float32),
+        visits=jnp.zeros((A, V, G), jnp.float32),
+        child=jnp.zeros((A, V, G), jnp.int32),
         next_idx=jnp.ones((G,), jnp.int32),
     )
 
@@ -132,11 +135,19 @@ def _expand_mask(onehot: jnp.ndarray, leaf_ndim: int) -> jnp.ndarray:
 
 
 def gather_node(arr: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
-    """arr [V, *S, G] selected per game by onehot [V, G] -> [*S, G]."""
+    """arr [V, *S, G] (node axis leading) selected per game by onehot
+    [V, G] -> [*S, G]."""
     mask = _expand_mask(onehot, arr.ndim)
     if arr.dtype == jnp.bool_:
         return (arr & mask).any(axis=0)
     return jnp.where(mask, arr, 0).sum(axis=0, dtype=arr.dtype)
+
+
+def gather_stat(arr: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """arr [A, V, G] (node axis second) selected per game -> [A, G]."""
+    if arr.dtype == jnp.bool_:
+        return (arr & onehot[None]).any(axis=1)
+    return jnp.where(onehot[None], arr, 0).sum(axis=1, dtype=arr.dtype)
 
 
 def gather_states(states, onehot: jnp.ndarray):
@@ -153,6 +164,14 @@ def scatter_node(arr, onehot, val, mask=None):
     if mask is not None:
         sel = sel & mask[None]
     return jnp.where(sel, val[None], arr)
+
+
+def scatter_stat(arr, onehot, val, mask=None):
+    """arr [A, V, G] <- val [A, G] at each game's one-hot node."""
+    sel = onehot[None]
+    if mask is not None:
+        sel = sel & mask[None, None]
+    return jnp.where(sel, val[:, None, :], arr)
 
 
 def scatter_states(states, onehot, new_states, mask=None):

@@ -183,14 +183,14 @@ def test_search_matches_scalar_twin(name, oracle_cls, training, rng):
                 assert int(tree.action_from[i, g]) == node.action_from, (g, i)
             assert bool(tree.expanded[i, g]) == node.expanded, (g, i)
             np.testing.assert_array_equal(
-                tree.visits[i, :, g], node.visits, err_msg=f"visits {g} {i}"
+                tree.visits[:, i, g], node.visits, err_msg=f"visits {g} {i}"
             )
             np.testing.assert_allclose(
-                tree.q[i, :, g], node.q, rtol=2e-3, atol=1e-5,
+                tree.q[:, i, g], node.q, rtol=2e-3, atol=1e-5,
                 err_msg=f"q {g} {i}",
             )
             for a, c in node.child.items():
-                assert int(tree.child[i, a, g]) == c, (g, i, a)
+                assert int(tree.child[a, i, g]) == c, (g, i, a)
         np.testing.assert_allclose(
             root_pi[:, g], pol, rtol=5e-3, atol=1e-5, err_msg=f"policy {g}"
         )
@@ -217,7 +217,7 @@ def test_visit_conservation_with_real_net(rng):
         )
 
     tree, root_pi = run(tree0, jax.random.key(2))
-    visits = np.asarray(tree.visits[0]).T  # [G, A]
+    visits = np.asarray(tree.visits[:, 0]).T  # [G, A]
     np.testing.assert_array_equal(visits.sum(-1), np.full(G, R - 1))
     # every visited root action is legal
     legal = np.asarray(jax.vmap(game.legal_mask)(positions))
