@@ -35,6 +35,7 @@ class Game:
     vectorized_state: int      # reference `VectorizedState` (cells in NN planes)
     feature_size: int          # reference `FeatureSize`
     max_game_length: int       # reference `maxLengthGame`
+    min_game_length: int       # safe lower bound on plies to termination
     """
 
     name: str
@@ -42,6 +43,7 @@ class Game:
     vectorized_state: int
     feature_size: int
     max_game_length: int
+    min_game_length: int = 1
 
     def initial(self) -> NamedTuple:
         raise NotImplementedError

@@ -39,6 +39,8 @@ class Connect4(Game):
         self.vectorized_state = HEIGHT * WIDTH  # 4IARow.jl:8
         self.feature_size = HEIGHT * WIDTH  # 4IARow.jl:9
         self.max_game_length = HEIGHT * WIDTH  # 4IARow.jl:11
+        # Four first-mover discs + three replies -> 7 plies minimum.
+        self.min_game_length = 7
         # Per-column word masks for the branch-free drop computation.
         col_masks = []
         for c in range(WIDTH):

@@ -36,6 +36,8 @@ class Gobang(Game):
         self.vectorized_state = nn  # Gobang.jl:8
         self.feature_size = nn  # Gobang.jl:9
         self.max_game_length = nn  # Gobang.jl:11
+        # First mover needs nvict stones to win -> 2*nvict - 1 plies minimum.
+        self.min_game_length = 2 * self.nvict - 1
 
     def initial(self) -> GobangState:
         return GobangState(

@@ -42,6 +42,8 @@ class Hex(Game):
         self.vectorized_state = m * m  # Hex.jl:8 - planes include the border
         self.feature_size = m * m  # Hex.jl:9
         self.max_game_length = nn  # Hex.jl:11
+        # A winning chain needs n stones -> 2n - 1 plies minimum.
+        self.min_game_length = 2 * n - 1
 
         # Border stones (Hex.jl:23-33): startx fills (rows 2..n, col 0),
         # starto fills (row 0, cols 2..n)  [0-based].

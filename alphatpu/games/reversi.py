@@ -47,6 +47,8 @@ class Reversi(Game):
         self.feature_size = cells
         # Reference: 50 for 6x6 (Reversi6x6.jl:9), 70 for 8x8 (Reversi8x8.jl:8)
         self.max_game_length = 50 if size == 6 else 70
+        # Conservative floor (shortest known 8x8 wipe-out is 9 plies).
+        self.min_game_length = 5
 
         h = size // 2
         self._start_mover = bb.from_coords(self.spec, [(h, h - 1), (h - 1, h)])

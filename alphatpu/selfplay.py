@@ -41,6 +41,11 @@ class SelfplayConfig(NamedTuple):
     cpuct: float = 1.5  # --cpuct default (main4IARow.jl:109)
     temp_moves: int = 25  # sample-vs-argmax cutoff (mcts_gpu.jl:518)
     max_moves: int | None = None  # defaults to game.max_game_length
+    # Continuous mode: lanes recycle into fresh games immediately on
+    # termination (see selfplay_continuous).  ``num_games`` then means the
+    # lane count; ``rounds`` the total move rounds played per lane.
+    continuous: bool = False
+    rounds: int | None = None  # defaults to 2 * game.max_game_length
 
 
 def broadcast_initial(game, num_games: int):
@@ -159,5 +164,158 @@ def selfplay_generation(
         "illegal_moves": illegal,
         "unfinished": (~done).sum(),
         "samples_written": mask.sum(),
+    }
+    return buffer, stats
+
+
+def selfplay_continuous(
+    game, net_apply, params, buffer: ReplayBuffer, rng, cfg: SelfplayConfig
+):
+    """Continuous selfplay: every lane that finishes a game is recycled into
+    a fresh one on the next move round, so all ``num_games`` lanes stay at
+    ~100% utilization for all ``rounds`` rounds.
+
+    The reference keeps utilization up by *compacting* the live-game vector
+    every move (mcts_gpu.jl:550-560) - a host-side realloc that forces a
+    device sync and (under jit) would force a recompile per shape.  Lane
+    recycling is the fixed-shape equivalent and strictly better: instead of
+    shrinking the batch as games die, dead lanes are refilled, so one
+    generation plays ``rounds``-many *move decisions* per lane rather than
+    one game per lane padded to the slowest game (~3x more samples per
+    second at Connect-4's mean game length).
+
+    Back-fill works per episode: each lane tracks its episode index ``eid``
+    (bounded by rounds // min_game_length + 1); termination scatters the
+    episode's (result, final feature) into per-lane tables; after the scan
+    every sample (t, g) looks up its episode row and computes
+    ``value = (1 + result * player) / 2``, ``fstate = final_feature * player``
+    exactly as the reference back-fill (main4IARow.jl:65-75).  Samples of
+    episodes still running at the last round are dropped (counted in
+    ``stats['unfinished']``).
+
+    Returns (buffer, stats); ``stats['games_finished']`` counts completed
+    episodes.
+    """
+    G = cfg.num_games
+    T = cfg.rounds or 2 * game.max_game_length
+    E = T // game.min_game_length + 2  # episode table rows per lane
+    positions0 = broadcast_initial(game, G)
+    tree0 = init_tree(game, positions0, cfg.rollouts)
+    initial_single = game.initial()
+
+    def move_body(carry, t):
+        (positions, eid, ep_start, res_table, ftable, counters, illegal,
+         tree, rng) = carry
+        rng, k_mcts, k_samp = jax.random.split(rng, 3)
+
+        tree = reset_tree(tree, positions)
+        tree, pol = run_mcts(
+            game,
+            net_apply,
+            params,
+            tree,
+            k_mcts,
+            rollouts=cfg.rollouts,
+            cpuct=cfg.cpuct,
+            training=True,
+        )
+
+        root_enc = jax.vmap(game.encode)(positions).astype(jnp.int8)
+        player_t = positions.player
+
+        u = jax.random.uniform(k_samp, (G,)) * pol.sum(0)
+        sampled = cdf_sample(pol, u)
+        greedy = jnp.argmax(pol, axis=0).astype(jnp.int32)
+        ep_move = t - ep_start  # move index within the lane's episode
+        action = jnp.where(ep_move < cfg.temp_moves, sampled, greedy)
+
+        legal = jax.vmap(game.legal_mask)(positions)
+        ok = jnp.take_along_axis(legal, action[:, None], axis=-1)[:, 0]
+        illegal = illegal + (~ok).sum()
+
+        positions = jax.vmap(game.play)(positions, action)
+        f, r = jax.vmap(game.is_over)(positions)
+
+        # terminated lanes: record the episode, then recycle.
+        final_feat = jax.vmap(game.final_feature)(positions)  # [G, fsize] i8
+        oh_e = (jnp.arange(E)[:, None] == eid[None, :]) & f[None, :]  # [E, G]
+        res_table = jnp.where(oh_e, r[None, :], res_table)
+        ftable = jnp.where(oh_e[:, :, None], final_feat[None], ftable)
+        counters = {
+            "wins": counters["wins"] + (f & (r == 1)).sum(),
+            "draws": counters["draws"] + (f & (r == 0)).sum(),
+            "losses": counters["losses"] + (f & (r == -1)).sum(),
+            # 0-based round index at termination (mcts_gpu.jl:536, 576)
+            "length_sum": counters["length_sum"] + jnp.where(f, ep_move, 0).sum(),
+        }
+        fresh = broadcast_initial(game, G)
+        positions = jax.tree.map(
+            lambda new, old: jnp.where(
+                f.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            fresh,
+            positions,
+        )
+        out = (root_enc, pol, player_t, eid.astype(jnp.int32))
+        eid = eid + f.astype(jnp.int32)
+        ep_start = jnp.where(f, t + 1, ep_start)
+        carry = (positions, eid, ep_start, res_table, ftable, counters,
+                 illegal, tree, rng)
+        return carry, out
+
+    counters0 = {
+        "wins": jnp.int32(0),
+        "draws": jnp.int32(0),
+        "losses": jnp.int32(0),
+        "length_sum": jnp.int32(0),
+    }
+    init = (
+        positions0,
+        jnp.zeros((G,), jnp.int32),  # eid
+        jnp.zeros((G,), jnp.int32),  # ep_start
+        jnp.zeros((E, G), jnp.int8),  # res_table
+        jnp.zeros((E, G, game.feature_size), jnp.int8),  # ftable
+        counters0,
+        jnp.int32(0),
+        tree0,
+        rng,
+    )
+    (positions, eid_final, _, res_table, ftable, counters, illegal, _, _), \
+        outs = jax.lax.scan(move_body, init, jnp.arange(T))
+    enc_s, pol_s, player_s, eid_s = outs  # enc [T,G,in], pol [T,A,G]
+    pol_s = jnp.moveaxis(pol_s, 1, 2)  # -> [T, G, A]
+
+    # per-sample episode lookups
+    res_s = jnp.take_along_axis(res_table, eid_s, axis=0)  # [T, G] i8
+    # ftable [E, G, fsize] gathered at eid_s -> [T, G, fsize]
+    fstate_ep = jnp.take_along_axis(
+        ftable, eid_s[:, :, None], axis=0
+    )
+    play_f = player_s.astype(jnp.float32)
+    value_s = (1.0 + res_s.astype(jnp.float32) * play_f) / 2.0  # [T, G]
+    fstate_s = fstate_ep * player_s[:, :, None]  # [T, G, fsize] i8
+    completed = eid_s < eid_final[None, :]  # episode finished before round T
+
+    A = game.max_actions
+    buffer = write_samples(
+        buffer,
+        enc_s.reshape(T * G, -1),
+        pol_s.reshape(T * G, A),
+        player_s.reshape(T * G),
+        value_s.reshape(T * G),
+        fstate_s.reshape(T * G, -1),
+        completed.reshape(T * G),
+    )
+
+    finished = eid_final.sum()
+    stats = {
+        "wins": counters["wins"],
+        "draws": counters["draws"],
+        "losses": counters["losses"],
+        "mean_length": counters["length_sum"] / jnp.maximum(finished, 1),
+        "illegal_moves": illegal,
+        "unfinished": (~completed).sum(),  # dropped samples of running games
+        "games_finished": finished,
+        "samples_written": completed.sum(),
     }
     return buffer, stats

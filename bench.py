@@ -22,18 +22,25 @@ import jax
 def main():
     games = int(os.environ.get("BENCH_GAMES", 16384))
     rollouts = int(os.environ.get("BENCH_ROLLOUTS", 64))
+    rounds = int(os.environ.get("BENCH_ROUNDS", 84))
 
     from alphatpu.buffer import create_buffer
     from alphatpu.games import make_game
     from alphatpu.nets import apply_inference, config_for_game, init_params
-    from alphatpu.selfplay import SelfplayConfig, selfplay_generation
+    from alphatpu.selfplay import SelfplayConfig, selfplay_continuous
 
     game = make_game("connect4")
     params = init_params(jax.random.key(0), config_for_game(game))
-    cfg = SelfplayConfig(num_games=games, rollouts=rollouts, cpuct=1.5)
+    # Continuous selfplay (lane recycling) is the production generation mode:
+    # every lane plays back-to-back games, every round is a full
+    # ``rollouts``-deep decision that lands a training sample.
+    cfg = SelfplayConfig(
+        num_games=games, rollouts=rollouts, cpuct=1.5,
+        continuous=True, rounds=rounds,
+    )
     buf = create_buffer(game, capacity=2_000_000)
 
-    run = jax.jit(selfplay_generation, static_argnums=(0, 1, 5))
+    run = jax.jit(selfplay_continuous, static_argnums=(0, 1, 5))
 
     # compile + warm run (excluded from timing).  NB: device_get, not
     # block_until_ready - the axon tunnel backend's block_until_ready

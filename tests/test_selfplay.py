@@ -90,6 +90,52 @@ def test_selfplay_generation_invariants():
     # means samples of round t for all alive games are contiguous.
 
 
+def test_selfplay_continuous_invariants():
+    """Lane recycling: episodes back-fill correctly across recycled lanes."""
+    game = make_game("tictactoe")
+    params = init_params(jax.random.key(0), config_for_game(game, width=32, depth=2))
+    T = 24  # enough rounds that every lane completes >= 2 episodes
+    cfg = SelfplayConfig(num_games=8, rollouts=16, cpuct=1.5,
+                         continuous=True, rounds=T)
+    buf = create_buffer(game, capacity=512)
+
+    from alphatpu.selfplay import selfplay_continuous
+
+    buf, stats = jax.jit(selfplay_continuous, static_argnums=(0, 1, 5))(
+        game, apply_inference, params, buf, jax.random.key(1), cfg
+    )
+    stats = {k: np.asarray(v) for k, v in stats.items()}
+
+    assert stats["illegal_moves"] == 0
+    total = stats["wins"] + stats["draws"] + stats["losses"]
+    assert total == stats["games_finished"]
+    # 8 lanes x 24 rounds, TTT episodes last 5..9 plies -> >= 2 per lane
+    assert stats["games_finished"] >= 16
+    assert 4 <= stats["mean_length"] <= 8
+    # every round of every lane produced a sample; only tail episodes drop
+    assert stats["samples_written"] + stats["unfinished"] == T * 8
+    assert stats["unfinished"] < 9 * 8  # at most one running episode per lane
+
+    n = int(buffer_size(buf))
+    assert n == int(stats["samples_written"])
+    state = np.asarray(buf.state[:n])
+    policy = np.asarray(buf.policy[:n])
+    player = np.asarray(buf.player[:n])
+    value = np.asarray(buf.value[:n])
+    fstate = np.asarray(buf.fstate[:n])
+
+    # same per-sample invariants as one-shot generation
+    assert np.all(np.abs(policy.sum(-1) - 1.0) < 0.05)
+    occupied = (state[:, :9] + state[:, 9:]) > 0
+    assert not np.any((policy > 1e-6) & occupied)
+    stones = state.sum(-1)
+    np.testing.assert_array_equal(player, np.where(stones % 2 == 0, 1, -1))
+    assert set(np.unique(value)).issubset({0.0, 0.5, 1.0})
+    assert set(np.unique(fstate)).issubset({-1, 1})
+    # lanes recycle: multiple empty-board samples per lane
+    assert (stones == 0).sum() >= 16
+
+
 def test_selfplay_reversi_pass_games():
     """Reversi 6x6 selfplay completes with pass handling and no illegal moves."""
     game = make_game("reversi6x6")
