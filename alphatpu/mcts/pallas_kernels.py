@@ -133,3 +133,108 @@ def refresh_supported(num_games: int, num_nodes: int = 8) -> bool:
         and num_games % GAMES_BLOCK == 0
         and num_nodes % 8 == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# backup
+# ---------------------------------------------------------------------------
+
+
+def _backup_kernel(nodes_ref, actions_ref, length_ref, value_ref,
+                   q_in, visits_in, uptodate_in,
+                   q_out, visits_out, uptodate_out, *, num_actions):
+    """Apply every recorded path edge's (q, visits) update with the stat
+    blocks VMEM-resident: the jnp while_loop version streams the full
+    [A, V, G] arrays from HBM once per *depth step* (backUp,
+    mcts_gpu.jl:306-328 walks parent pointers; search.backup walks the
+    recorded path) - here the whole walk costs one HBM read + one write
+    per block regardless of path length."""
+    A = num_actions
+    V = q_in.shape[1]
+    length = length_ref[:]  # [1, Gb] i32
+    value = value_ref[:]  # [1, Gb] f32
+    vio = jax.lax.broadcasted_iota(jnp.int32, (V, length.shape[1]), 0)
+
+    q_a = [q_in[a] for a in range(A)]
+    vis_a = [visits_in[a] for a in range(A)]
+    uptodate = uptodate_in[:]  # [V, Gb] i8
+
+    max_len = jnp.max(length)
+
+    def cond(st):
+        d = st[0]
+        return d < max_len
+
+    def body(st):
+        d, q_a, vis_a, uptodate = st
+        nodes = nodes_ref[pl.ds(d, 1), :]  # [1, Gb]
+        actions = actions_ref[pl.ds(d, 1), :]
+        valid = nodes >= 0
+        k = length - 1 - d
+        contrib = jnp.where(k % 2 == 0, 1.0 - value, value)  # [1, Gb]
+        oh = (vio == nodes) & valid  # [V, Gb]
+        new_q = []
+        new_vis = []
+        for a in range(A):
+            hit = oh & (actions == a)
+            nq = (vis_a[a] * q_a[a] + contrib) / (vis_a[a] + 1.0)
+            new_q.append(jnp.where(hit, nq, q_a[a]))
+            new_vis.append(jnp.where(hit, vis_a[a] + 1.0, vis_a[a]))
+        uptodate = jnp.where(oh, jnp.int8(0), uptodate)
+        return d + 1, new_q, new_vis, uptodate
+
+    _, q_a, vis_a, uptodate = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), q_a, vis_a, uptodate)
+    )
+    for a in range(A):
+        q_out[a] = q_a[a]
+        visits_out[a] = vis_a[a]
+    uptodate_out[:] = uptodate
+
+
+@functools.partial(jax.jit, static_argnames=())
+def backup_pallas(q, visits, uptodate, path_nodes, path_actions, path_length,
+                  leaf_value):
+    """(q', visits', uptodate'): all path-edge updates in one VMEM pass.
+
+    q/visits [A, V, G] f32; uptodate [V, G] bool; path_nodes/actions [D, G]
+    i32 (node -1 = nothing recorded); path_length [G] i32; leaf_value [G] f32.
+    """
+    A, V, G = q.shape
+    D = path_nodes.shape[0]
+    grid = (G // GAMES_BLOCK,)
+
+    def avg(i):
+        return (0, 0, i)
+
+    def vg(i):
+        return (0, i)
+
+    def dg(i):
+        return (0, i)
+
+    def g1(i):
+        return (0, i)
+
+    stat_spec = pl.BlockSpec((A, V, GAMES_BLOCK), avg, memory_space=pltpu.VMEM)
+    vg_spec = pl.BlockSpec((V, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
+    dg_spec = pl.BlockSpec((D, GAMES_BLOCK), dg, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, GAMES_BLOCK), g1, memory_space=pltpu.VMEM)
+
+    q2, v2, u2 = pl.pallas_call(
+        functools.partial(_backup_kernel, num_actions=A),
+        out_shape=(
+            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
+            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
+            jax.ShapeDtypeStruct((V, G), jnp.int8),
+        ),
+        grid=grid,
+        in_specs=[dg_spec, dg_spec, row_spec, row_spec,
+                  stat_spec, stat_spec, vg_spec],
+        out_specs=(stat_spec, stat_spec, vg_spec),
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+    )(
+        path_nodes, path_actions, path_length[None, :],
+        leaf_value[None, :], q, visits, uptodate.astype(jnp.int8),
+    )
+    return q2, v2, u2 != 0

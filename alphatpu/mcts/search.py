@@ -228,7 +228,13 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result):
     (backUp, mcts_gpu.jl:306-328).  The edge at depth d (leaf edge =
     depth len-1) receives ``1 - flip^(len-1-d)(leaf_value)``; since all
     path edges are distinct tree edges, every update is an independent
-    masked elementwise op - no gathers, no parent-pointer chasing."""
+    masked elementwise op - no gathers, no parent-pointer chasing.
+
+    On TPU the walk runs as a VMEM-resident Pallas kernel (one HBM
+    read/write of the stats per rollout instead of one per depth step);
+    the jnp while_loop below is the fallback and numerical reference."""
+    from .pallas_kernels import backup_pallas, refresh_supported
+
     V = tree.num_nodes
     A = tree.num_actions
     act_ids = jnp.arange(A)[:, None]
@@ -238,6 +244,13 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result):
         / 2.0,
         value_nn,
     )
+    if refresh_supported(tree.num_games, tree.num_nodes):
+        q, visits, uptodate = backup_pallas(
+            tree.q, tree.visits, tree.uptodate,
+            path.nodes, path.actions, path.length, leaf_value,
+        )
+        return tree._replace(q=q, visits=visits, uptodate=uptodate)
+
     max_len = jnp.max(path.length)
 
     def cond(st):
