@@ -16,15 +16,24 @@ tree0 = init_tree(game, positions, R)
 depth_cap = min(game.max_game_length, R)
 
 
-def make_variant(refresh=True, do_backup=True, use_nn=True):
+def make_variant(do_select=True, do_backup=True, use_nn=True, do_expand=True):
     def run(tree, rng):
         keys = jax.random.split(rng, R)
 
         def body(tree, k):
             p = jax.random.uniform(k, (depth_cap, G))
-            if refresh:
-                tree = S.refresh_policies(tree, 1.5)
-            path, node, leaf_action, needs_alloc = S.descend(game, tree, p)
+            if do_select:
+                tree, path, node, leaf_action, needs_alloc = S.select(
+                    game, tree, p, 1.5)
+            else:
+                node = jnp.zeros((G,), jnp.int32)
+                leaf_action = (p[0] * game.max_actions).astype(jnp.int32)
+                needs_alloc = jnp.ones((G,), bool)
+                path = S.Path(
+                    jnp.zeros((depth_cap, G), jnp.int32).at[1:].set(-1),
+                    jnp.zeros((depth_cap, G), jnp.int32),
+                    jnp.ones((G,), jnp.int32),
+                )
             leaf_states = S.leaf_positions(game, tree, node, leaf_action,
                                            needs_alloc)
             if use_nn:
@@ -34,9 +43,12 @@ def make_variant(refresh=True, do_backup=True, use_nn=True):
             else:
                 prior = jnp.full((game.max_actions, G), 1.0 / game.max_actions)
                 v = jnp.full((G,), 0.5)
-            tree, leaf, done, result = S.expand(
-                game, tree, node, leaf_action, needs_alloc, leaf_states,
-                prior, True)
+            if do_expand:
+                tree, leaf, done, result = S.expand(
+                    game, tree, node, leaf_action, needs_alloc, leaf_states,
+                    prior, True)
+            else:
+                done, result = jax.vmap(game.is_over)(leaf_states)
             if do_backup:
                 tree = S.backup(tree, path, leaf_states.player, v, done, result)
             return tree, None
@@ -59,7 +71,9 @@ def timeit(name, fn, n=5):
 
 
 timeit("full", make_variant())
-timeit("no-refresh", make_variant(refresh=False))
+timeit("no-select", make_variant(do_select=False))
 timeit("no-backup", make_variant(do_backup=False))
 timeit("no-nn", make_variant(use_nn=False))
-timeit("no-refresh-no-backup", make_variant(refresh=False, do_backup=False))
+timeit("no-expand", make_variant(do_expand=False))
+timeit("select-only", make_variant(do_backup=False, use_nn=False,
+                                   do_expand=False))

@@ -1,16 +1,25 @@
 """Pallas TPU kernels for the MCTS hot paths.
 
-The regularized-policy Newton solve is the reference's stated bottleneck
-(README.md:81).  The pure-jnp refresh (newton.py) streams the [A, V, G]
-stat arrays from HBM on *every* unrolled Newton step (~0.5 GB per chunk at
-G=16k); this kernel blocks the games axis, keeps each [A, V, Gb] slice
-VMEM-resident, and runs the entire solve on-chip - HBM traffic drops to
-one read of (prior, q, visits, policy, stale) plus one policy write per
-rollout, independent of iteration count.
+Two kernels cover the whole per-rollout tree work:
 
-Numerics are identical to :func:`alphatpu.mcts.newton.regularized_policy`:
-same alpha init with the 1e-4 gap floor (mcts_gpu.jl:136), same latched
-convergence rule (err < 1e-3 or repeated err), same iteration cap.
+* **select** fuses the regularized-policy Newton solve - the reference's
+  stated bottleneck (README.md:81; kdescendTree!, mcts_gpu.jl:114-169) -
+  with the root-to-leaf walk.  The policy is computed *on the fly* per
+  depth step from the gathered (prior, value-sum, visits) rows of the
+  current node, so no policy cache exists at all (see search.py for the
+  exact-equivalence argument).  The jnp pipeline streams the [A, V, G]
+  stats from HBM once per depth step; here the whole walk costs one HBM
+  read of the stats per rollout, and the per-depth Newton solves run on
+  [1, Gb] rows that never leave vector registers.
+* **backup** applies every recorded path edge's (value-sum, visits)
+  multiply-add with the stat blocks VMEM-resident (backUp,
+  mcts_gpu.jl:306-328) - one HBM read + write per rollout regardless of
+  path length.
+
+Numerics are identical to the jnp reference in
+:mod:`alphatpu.mcts.search` / :mod:`alphatpu.mcts.newton`: same alpha init
+with the 1e-4 gap floor (mcts_gpu.jl:136), same latched convergence rule
+(err < 1e-3 or repeated err), same iteration cap, same CDF sampling walk.
 """
 from __future__ import annotations
 
@@ -24,34 +33,45 @@ from jax.experimental.pallas import tpu as pltpu
 from .newton import ALPHA_FLOOR, NEWTON_CHUNK, NEWTON_MAX_CHUNKS, NEWTON_TOL
 
 # f32 lane tile is (8, 128): G blocks must be multiples of 128.  256 keeps
-# 6 double-buffered [A, V, Gb] blocks + per-action temporaries under the
+# the double-buffered [A, V, Gb] stat blocks + temporaries well under the
 # 16 MB VMEM budget at V = 64.
 GAMES_BLOCK = 256
 
 
-def _refresh_kernel(prior_ref, q_ref, visits_ref, policy_ref, stale_ref,
-                    out_ref, *, cpuct, num_actions):
-    """All math is on 2D [V, Gb] tiles with a static unroll over the small
-    leading action axis (stats are action-major [A, V, G], so every a-slice
-    is a contiguous (sublane, lane)-aligned tile - middle-dim broadcasts of
-    a 3D block are an unsupported Mosaic shape cast, and slicing a minor
-    axis would stride across sublanes)."""
-    A = num_actions
-    stale = stale_ref[:] != 0  # [V, Gb]
-    prior_a = [prior_ref[a] for a in range(A)]
-    q_a = [q_ref[a] for a in range(A)]
+def select_supported(num_games: int, num_nodes: int = 8) -> bool:
+    """The kernel path needs a TPU backend (the axon tunnel platform is a
+    TPU) and tile-aligned dims: G on the 128 lanes, V on the 8 sublanes."""
+    backend = jax.default_backend()
+    return (
+        backend in ("tpu", "axon")
+        and num_games % GAMES_BLOCK == 0
+        and num_nodes % 8 == 0
+    )
 
-    n = 1.0 + sum(visits_ref[a] for a in range(A))  # [V, Gb]
-    acts = sum((p > 0).astype(jnp.float32) for p in prior_a)
+
+# ---------------------------------------------------------------------------
+# select (fused on-the-fly regularized policy + descend)
+# ---------------------------------------------------------------------------
+
+
+def _node_policy_rows(p_a, w_a, v_a, *, cpuct, num_actions):
+    """Regularized policy for one gathered node row per lane.  All inputs
+    are length-A lists of [1, Gb] tiles; returns the same.  Matches
+    newton.regularized_policy + the fresh-node prior shortcut
+    (search.node_policy) bit for bit: same alpha init, same latched
+    convergence, same iteration cap."""
+    A = num_actions
+    q_a = [jnp.where(v > 0, w / v, 0.0) for w, v in zip(w_a, v_a)]
+    nvis = sum(v_a)
+    n = 1.0 + nvis
+    acts = sum((p > 0).astype(jnp.float32) for p in p_a)
     lam = cpuct * jnp.sqrt(n) / (acts + n)
-    top_a = [lam * p for p in prior_a]
+    top_a = [lam * p for p in p_a]
     alpha = q_a[0] + jnp.maximum(top_a[0], ALPHA_FLOOR)
     for a in range(1, A):
         alpha = jnp.maximum(alpha, q_a[a] + jnp.maximum(top_a[a], ALPHA_FLOOR))
 
-    def step(st):
-        # conv is a {0,1} f32 mask: Mosaic can't carry i1 vectors through
-        # loop regions.
+    def nstep(st):
         alpha, prev_err, conv = st
         s = jnp.zeros_like(alpha)
         grad = jnp.zeros_like(alpha)
@@ -69,35 +89,123 @@ def _refresh_kernel(prior_ref, q_ref, visits_ref, policy_ref, stale_ref,
         prev_err = jnp.where(done, prev_err, err)
         return alpha, prev_err, conv
 
-    def cond(st):
+    def ncond(st):
         (_, _, conv), j = st
         return jnp.logical_and(j < NEWTON_MAX_CHUNKS, jnp.min(conv) < 0.5)
 
-    def body(st):
+    def nbody(st):
         inner, j = st
-        for _ in range(NEWTON_CHUNK):  # static unroll, all in VMEM
-            inner = step(inner)
+        for _ in range(NEWTON_CHUNK):  # static unroll, all in registers
+            inner = nstep(inner)
         return inner, j + 1
 
-    init = (
-        alpha,
-        jnp.full_like(alpha, jnp.inf),
-        # non-stale lanes' results are discarded by the final select -
-        # start them converged so they never cost an extra chunk
-        1.0 - stale.astype(jnp.float32),
-    )
-    (alpha, _, _), _ = jax.lax.while_loop(cond, body, (init, jnp.int32(0)))
+    fresh = (nvis == 0.0).astype(jnp.float32)  # [1, Gb]
+    # fresh lanes skip the solve entirely (start converged)
+    ninit = (alpha, jnp.full_like(alpha, jnp.inf), fresh)
+    (alpha, _, _), _ = jax.lax.while_loop(ncond, nbody, (ninit, jnp.int32(0)))
+    out = []
     for a in range(A):
         pi = top_a[a] / (alpha - q_a[a])
-        out_ref[a] = jnp.where(stale, pi, policy_ref[a])
+        out.append(jnp.where(fresh > 0.5, p_a[a], pi))
+    return out
+
+
+def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
+                   probs_ref,
+                   nodes_out, actions_out, leaf_out, laction_out, alloc_out,
+                   rootpi_out, *, cpuct, num_actions, max_depth):
+    A = num_actions
+    V = prior_ref.shape[1]
+    Gb = prior_ref.shape[2]
+    expanded = expanded_ref[:] != 0  # [V, Gb]
+    prior_a = [prior_ref[a] for a in range(A)]
+    wsum_a = [wsum_ref[a] for a in range(A)]
+    visits_a = [visits_ref[a] for a in range(A)]
+    child_a = [child_ref[a] for a in range(A)]
+    vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
+    nodes_out[:] = jnp.full((max_depth, Gb), -1, jnp.int32)
+    actions_out[:] = jnp.zeros((max_depth, Gb), jnp.int32)
+
+    def cond(st):
+        d, node, found, leaf_action, needs_alloc = st
+        return jnp.logical_and(d < max_depth, jnp.min(found) < 0.5)
+
+    def body(st):
+        d, node, found, leaf_action, needs_alloc = st
+        oh = (vio == node).astype(jnp.float32)  # [V, Gb]
+        exp = jnp.sum(expanded.astype(jnp.float32) * oh, axis=0,
+                      keepdims=True)  # [1, Gb] in {0,1}
+        live = (1.0 - found) * exp
+        # gather the stat rows at each game's node, solve for its policy
+        p_a = [jnp.sum(prior_a[a] * oh, axis=0, keepdims=True)
+               for a in range(A)]
+        w_a = [jnp.sum(wsum_a[a] * oh, axis=0, keepdims=True)
+               for a in range(A)]
+        v_a = [jnp.sum(visits_a[a] * oh, axis=0, keepdims=True)
+               for a in range(A)]
+        pi_a = _node_policy_rows(p_a, w_a, v_a, cpuct=cpuct,
+                                 num_actions=A)
+
+        @pl.when(d == 0)
+        def _():
+            for a in range(A):
+                rootpi_out[pl.ds(a, 1), :] = pi_a[a]
+
+        # CDF sample (newton.cdf_sample semantics)
+        prob = probs_ref[pl.ds(d, 1), :]
+        csum = jnp.zeros_like(prob)
+        reach_a = []
+        for a in range(A):
+            csum = csum + pi_a[a]
+            reach_a.append((csum >= prob) & (pi_a[a] > 0))
+        first = jnp.zeros_like(prob, dtype=jnp.int32)
+        for a in range(A - 1, -1, -1):
+            first = jnp.where(reach_a[a], a, first)
+        any_reach = jnp.zeros_like(prob)
+        for a in range(A):
+            any_reach = jnp.maximum(any_reach, reach_a[a].astype(jnp.float32))
+        last_pos = jnp.zeros_like(prob, dtype=jnp.int32)
+        for a in range(A):
+            last_pos = jnp.where(pi_a[a] > 0, a, last_pos)
+        action = jnp.where(any_reach > 0.5, first, last_pos)  # [1, Gb]
+
+        nodes_out[pl.ds(d, 1), :] = jnp.where(live > 0.5, node, -1)
+        actions_out[pl.ds(d, 1), :] = action
+
+        cid = jnp.zeros_like(prob)
+        for a in range(A):
+            ca = jnp.sum(child_a[a].astype(jnp.float32) * oh, axis=0,
+                         keepdims=True)
+            cid = cid + ca * (action == a).astype(jnp.float32)
+        cid = cid.astype(jnp.int32)
+        hit_missing = live * (cid == 0).astype(jnp.float32)
+        leaf_action = jnp.where(hit_missing > 0.5, action, leaf_action)
+        needs_alloc = jnp.maximum(needs_alloc, hit_missing)
+        found = jnp.maximum(found, jnp.maximum(1.0 - exp, hit_missing))
+        step = (live * (cid > 0).astype(jnp.float32)) > 0.5
+        node = jnp.where(step, cid, node)
+        return d + 1, node, found, leaf_action, needs_alloc
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((1, Gb), jnp.int32),
+        jnp.zeros((1, Gb), jnp.float32),
+        jnp.zeros((1, Gb), jnp.int32),
+        jnp.zeros((1, Gb), jnp.float32),
+    )
+    _, node, _, leaf_action, needs_alloc = jax.lax.while_loop(
+        cond, body, init)
+    leaf_out[:] = node
+    laction_out[:] = leaf_action
+    alloc_out[:] = needs_alloc.astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("cpuct",))
-def refresh_policies_pallas(prior, q, visits, policy, stale, cpuct: float):
-    """policy' [A, V, G]: regularized policy where ``stale``, else the
-    stored policy.  Layouts are the tree's native [A, V, G] / [V, G] - no
-    transposes.  Requires G % GAMES_BLOCK == 0 and V % 8 == 0."""
+def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float):
+    """(path_nodes, path_actions, node, leaf_action, needs_alloc, root_pi):
+    the per-rollout selection walk in one kernel.  probs: f32[D, G]."""
     A, V, G = prior.shape
+    D = probs.shape[0]
     assert G % GAMES_BLOCK == 0
     grid = (G // GAMES_BLOCK,)
 
@@ -107,32 +215,29 @@ def refresh_policies_pallas(prior, q, visits, policy, stale, cpuct: float):
     def vg(i):
         return (0, i)
 
-    stat_spec = pl.BlockSpec((A, V, GAMES_BLOCK), avg,
-                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_refresh_kernel, cpuct=cpuct, num_actions=A),
-        out_shape=jax.ShapeDtypeStruct((A, V, G), jnp.float32),
+    stat_spec = pl.BlockSpec((A, V, GAMES_BLOCK), avg, memory_space=pltpu.VMEM)
+    vg_spec = pl.BlockSpec((V, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
+    dg_spec = pl.BlockSpec((D, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
+    ag_spec = pl.BlockSpec((A, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
+
+    nodes, actions, node, laction, alloc, rootpi = pl.pallas_call(
+        functools.partial(_select_kernel, cpuct=cpuct, num_actions=A,
+                          max_depth=D),
+        out_shape=(
+            jax.ShapeDtypeStruct((D, G), jnp.int32),
+            jax.ShapeDtypeStruct((D, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int8),
+            jax.ShapeDtypeStruct((A, G), jnp.float32),
+        ),
         grid=grid,
-        in_specs=[
-            stat_spec,  # prior
-            stat_spec,  # q
-            stat_spec,  # visits
-            stat_spec,  # policy
-            pl.BlockSpec((V, GAMES_BLOCK), vg, memory_space=pltpu.VMEM),
-        ],
-        out_specs=stat_spec,
-    )(prior, q, visits, policy, stale.astype(jnp.int8))
-
-
-def refresh_supported(num_games: int, num_nodes: int = 8) -> bool:
-    """The kernel path needs a TPU backend (the axon tunnel platform is a
-    TPU) and tile-aligned dims: G on the 128 lanes, V on the 8 sublanes."""
-    backend = jax.default_backend()
-    return (
-        backend in ("tpu", "axon")
-        and num_games % GAMES_BLOCK == 0
-        and num_nodes % 8 == 0
-    )
+        in_specs=[stat_spec, stat_spec, stat_spec, stat_spec, vg_spec,
+                  dg_spec],
+        out_specs=(dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
+    )(prior, wsum, visits, child, expanded.astype(jnp.int8), probs)
+    return nodes, actions, node[0], laction[0], alloc[0] != 0, rootpi
 
 
 # ---------------------------------------------------------------------------
@@ -141,23 +246,20 @@ def refresh_supported(num_games: int, num_nodes: int = 8) -> bool:
 
 
 def _backup_kernel(nodes_ref, actions_ref, length_ref, value_ref,
-                   q_in, visits_in, uptodate_in,
-                   q_out, visits_out, uptodate_out, *, num_actions):
-    """Apply every recorded path edge's (q, visits) update with the stat
-    blocks VMEM-resident: the jnp while_loop version streams the full
-    [A, V, G] arrays from HBM once per *depth step* (backUp,
-    mcts_gpu.jl:306-328 walks parent pointers; search.backup walks the
-    recorded path) - here the whole walk costs one HBM read + one write
-    per block regardless of path length."""
+                   wsum_in, visits_in, wsum_out, visits_out, *, num_actions):
+    """Apply every recorded path edge's (value-sum, visits) multiply-add
+    with the stat blocks VMEM-resident: the jnp while_loop version streams
+    the full [A, V, G] arrays from HBM once per *depth step* - here the
+    whole walk costs one HBM read + one write per block regardless of path
+    length."""
     A = num_actions
-    V = q_in.shape[1]
+    V = wsum_in.shape[1]
     length = length_ref[:]  # [1, Gb] i32
     value = value_ref[:]  # [1, Gb] f32
     vio = jax.lax.broadcasted_iota(jnp.int32, (V, length.shape[1]), 0)
 
-    q_a = [q_in[a] for a in range(A)]
+    w_a = [wsum_in[a] for a in range(A)]
     vis_a = [visits_in[a] for a in range(A)]
-    uptodate = uptodate_in[:]  # [V, Gb] i8
 
     max_len = jnp.max(length)
 
@@ -166,41 +268,38 @@ def _backup_kernel(nodes_ref, actions_ref, length_ref, value_ref,
         return d < max_len
 
     def body(st):
-        d, q_a, vis_a, uptodate = st
+        d, w_a, vis_a = st
         nodes = nodes_ref[pl.ds(d, 1), :]  # [1, Gb]
         actions = actions_ref[pl.ds(d, 1), :]
         valid = nodes >= 0
         k = length - 1 - d
         contrib = jnp.where(k % 2 == 0, 1.0 - value, value)  # [1, Gb]
         oh = (vio == nodes) & valid  # [V, Gb]
-        new_q = []
+        new_w = []
         new_vis = []
         for a in range(A):
-            hit = oh & (actions == a)
-            nq = (vis_a[a] * q_a[a] + contrib) / (vis_a[a] + 1.0)
-            new_q.append(jnp.where(hit, nq, q_a[a]))
-            new_vis.append(jnp.where(hit, vis_a[a] + 1.0, vis_a[a]))
-        uptodate = jnp.where(oh, jnp.int8(0), uptodate)
-        return d + 1, new_q, new_vis, uptodate
+            hit = (oh & (actions == a)).astype(jnp.float32)
+            new_w.append(w_a[a] + hit * contrib)
+            new_vis.append(vis_a[a] + hit)
+        return d + 1, new_w, new_vis
 
-    _, q_a, vis_a, uptodate = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), q_a, vis_a, uptodate)
+    _, w_a, vis_a = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), w_a, vis_a)
     )
     for a in range(A):
-        q_out[a] = q_a[a]
+        wsum_out[a] = w_a[a]
         visits_out[a] = vis_a[a]
-    uptodate_out[:] = uptodate
 
 
-@functools.partial(jax.jit, static_argnames=())
-def backup_pallas(q, visits, uptodate, path_nodes, path_actions, path_length,
+@jax.jit
+def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
                   leaf_value):
-    """(q', visits', uptodate'): all path-edge updates in one VMEM pass.
+    """(wsum', visits'): all path-edge updates in one VMEM pass.
 
-    q/visits [A, V, G] f32; uptodate [V, G] bool; path_nodes/actions [D, G]
-    i32 (node -1 = nothing recorded); path_length [G] i32; leaf_value [G] f32.
+    wsum/visits [A, V, G] f32; path_nodes/actions [D, G] i32 (node -1 =
+    nothing recorded); path_length [G] i32; leaf_value [G] f32.
     """
-    A, V, G = q.shape
+    A, V, G = wsum.shape
     D = path_nodes.shape[0]
     grid = (G // GAMES_BLOCK,)
 
@@ -210,31 +309,23 @@ def backup_pallas(q, visits, uptodate, path_nodes, path_actions, path_length,
     def vg(i):
         return (0, i)
 
-    def dg(i):
-        return (0, i)
-
-    def g1(i):
-        return (0, i)
-
     stat_spec = pl.BlockSpec((A, V, GAMES_BLOCK), avg, memory_space=pltpu.VMEM)
-    vg_spec = pl.BlockSpec((V, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
-    dg_spec = pl.BlockSpec((D, GAMES_BLOCK), dg, memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, GAMES_BLOCK), g1, memory_space=pltpu.VMEM)
+    dg_spec = pl.BlockSpec((D, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
 
-    q2, v2, u2 = pl.pallas_call(
+    w2, v2 = pl.pallas_call(
         functools.partial(_backup_kernel, num_actions=A),
         out_shape=(
             jax.ShapeDtypeStruct((A, V, G), jnp.float32),
             jax.ShapeDtypeStruct((A, V, G), jnp.float32),
-            jax.ShapeDtypeStruct((V, G), jnp.int8),
         ),
         grid=grid,
         in_specs=[dg_spec, dg_spec, row_spec, row_spec,
-                  stat_spec, stat_spec, vg_spec],
-        out_specs=(stat_spec, stat_spec, vg_spec),
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+                  stat_spec, stat_spec],
+        out_specs=(stat_spec, stat_spec),
+        input_output_aliases={4: 0, 5: 1},
     )(
         path_nodes, path_actions, path_length[None, :],
-        leaf_value[None, :], q, visits, uptodate.astype(jnp.int8),
+        leaf_value[None, :], wsum, visits,
     )
-    return q2, v2, u2 != 0
+    return w2, v2

@@ -1,4 +1,4 @@
-"""Batched MCTS phases: policy refresh / descend / expand / backup.
+"""Batched MCTS phases: select (regularized policy + descend) / expand / backup.
 
 TPU-native re-design of the reference's GPU kernels.  The reference runs one
 CUDA thread per game with divergent control flow (mcts_gpu.jl:100-199); TPUs
@@ -10,26 +10,35 @@ Phase structure per rollout (a restructuring of the reference's
 descend/expand/backup for array hardware - identical semantics, very
 different data movement):
 
-* **refresh**: the regularized-policy Newton solve (the reference's stated
-  bottleneck, README.md:81) runs ONCE per rollout for every stale node
-  simultaneously - ``[A, V*G]`` lanes - instead of per depth-step inside
-  the walk (kdescendTree!, mcts_gpu.jl:114-169).  Identical results: a
-  stale node's (prior, q, visits) only change via backup, which re-marks
-  it stale, so refreshing early computes exactly what the reference's
-  lazy in-walk recompute would.
-* **descend**: a READ-ONLY ``lax.while_loop`` over tree depth - all games
-  step one edge per iteration until every game hits an unexpanded node or
-  a missing edge (mcts_gpu.jl:170-195).  The traversed path is recorded as
-  ``[D, G]`` edge lists; no tree mutation per depth step.
+* **select**: a READ-ONLY walk from root to leaf.  At each depth the
+  regularized policy of the current node - the Newton solve that is the
+  reference's stated bottleneck (README.md:81) - is computed *on the fly*
+  from the gathered (prior, value-sum, visits) rows.  The reference instead
+  caches a policy array per node and lazily refreshes it when a backup
+  staled the node (kdescendTree!, mcts_gpu.jl:114-169).  The two are
+  EXACTLY equivalent: the policy is a pure function of (prior, q, visits),
+  stats only change via backup, and a fresh node (no visits) uses its raw
+  prior in both schemes - so the cache never holds anything the recompute
+  would not produce.  Dropping the cache removes two [A, V, G] arrays
+  (policy, uptodate) from both HBM traffic and memory.  The traversed path
+  is recorded as ``[D, G]`` edge lists; the root's policy falls out of the
+  depth-0 step (the reference's `copy_pol`, mcts_gpu.jl:330-339).
 * **expand**: allocates at most one node per game (the reference allocates
   inside the walk, mcts_gpu.jl:183-191 - same ids, same order), then one
-  batched legal-mask + prior write (mcts_gpu.jl:250-302),
+  batched legal-mask + prior write (mcts_gpu.jl:250-302).
 * **backup**: walks the RECORDED path (not parent pointers) updating each
-  edge's (q, visits) with the parity-flipped leaf value - pure elementwise
-  masked updates, no gathers (backUp, mcts_gpu.jl:306-328).
+  edge's (value-sum, visits) with the parity-flipped leaf value - pure
+  multiply-add masked updates, no gathers, no divisions (backUp,
+  mcts_gpu.jl:306-328 stores the incremental mean; storing the sum is
+  algebraically identical at ~1 ulp and divide-free).
 * the rollout loop is a ``lax.scan``; the NN evaluates all G leaves in one
   in-graph batch-major forward per rollout (mcts_gpu.jl:396-439) - no host
   syncs anywhere.
+
+On TPU with lane-aligned shapes, select and backup each run as ONE
+VMEM-resident Pallas kernel (pallas_kernels.py): per rollout the tree stats
+cross HBM once, however deep the walks iterate.  The jnp versions below are
+the numerical reference and the CPU fallback.
 """
 from __future__ import annotations
 
@@ -51,33 +60,6 @@ from .tree import (
 )
 
 
-def refresh_policies(tree: Tree, cpuct) -> Tree:
-    """Recompute the regularized policy for every stale node in one batched
-    Newton solve (lanes = all (node, game) pairs), then mark everything
-    up to date.  Matches the reference's lazy per-visit recompute
-    (mcts_gpu.jl:114-169) because stats can't change between the backup
-    that staled a node and its next traversal.
-
-    On TPU with a lane-aligned batch the solve runs as a VMEM-resident
-    Pallas kernel (the iteration loop costs no HBM traffic); the pure-jnp
-    path is the fallback and the numerical reference."""
-    from .pallas_kernels import refresh_policies_pallas, refresh_supported
-
-    stale = tree.expanded & ~tree.uptodate  # [V, G]
-    if refresh_supported(tree.num_games, tree.num_nodes):
-        policy = refresh_policies_pallas(
-            tree.prior, tree.q, tree.visits, tree.policy, stale, float(cpuct)
-        )
-    else:
-        # stats are action-major [A, V, G]: the solve reduces over axis 0
-        # with no data movement.
-        pi = regularized_policy(tree.prior, tree.q, tree.visits, cpuct)
-        policy = jnp.where(stale[None], pi, tree.policy)
-    return tree._replace(
-        policy=policy, uptodate=jnp.ones_like(tree.uptodate)
-    )
-
-
 class Path(NamedTuple):
     """Edges traversed this rollout: entry d is the edge taken at depth d
     (-1 node id = lane recorded nothing at that depth)."""
@@ -87,18 +69,32 @@ class Path(NamedTuple):
     length: jnp.ndarray  # i32[G] - number of recorded edges
 
 
-def descend(game, tree: Tree, probs):
-    """Walk every game from its root to a leaf following the (pre-refreshed)
-    stored policies.  Read-only over the tree.
+def node_policy(prior_row, wsum_row, visits_row, cpuct):
+    """Regularized policy for gathered node rows ([A, G] each): the Newton
+    solve on current stats, with the fresh-node shortcut - a node whose
+    edges have no visits samples its raw stored prior, exactly like the
+    reference's prior->policy copy at expansion (mcts_gpu.jl:297-299)."""
+    q_row = jnp.where(
+        visits_row > 0, wsum_row / jnp.maximum(visits_row, 1.0), 0.0
+    )
+    pi = regularized_policy(prior_row, q_row, visits_row, cpuct)
+    fresh = visits_row.sum(0) == 0.0  # [G]
+    return jnp.where(fresh[None, :], prior_row, pi)
+
+
+def descend(game, tree: Tree, probs, cpuct):
+    """Walk every game from its root to a leaf, computing each node's
+    regularized policy on the fly.  Read-only over the tree.
 
     ``probs``: f32[D, G] pre-drawn uniforms, indexed by depth - mirroring the
     reference's per-rollout ``CUDA.rand(maxLengthGame, L)`` draw
     (mcts_gpu.jl:397) and enabling exact-stream injection in tests.
 
-    Returns ``(path, leaf_node, leaf_parent, leaf_action, needs_alloc)``:
+    Returns ``(path, leaf_node, leaf_action, needs_alloc, root_pi)``:
     * ``needs_alloc`` lanes sampled an edge with no child yet - the leaf is
       the to-be-allocated node under (leaf_parent, leaf_action),
-    * other lanes stopped at the existing unexpanded node ``leaf_node``.
+    * other lanes stopped at the existing unexpanded node ``leaf_node``,
+    * ``root_pi`` [A, G] is the depth-0 policy (the root's current policy).
     """
     V = tree.num_nodes
     A = tree.num_actions
@@ -111,11 +107,18 @@ def descend(game, tree: Tree, probs):
         return jnp.any(~found) & (depth < max_depth)
 
     def body(st):
-        node, found, depth, leaf_action, needs_alloc, pnodes, pactions = st
+        (node, found, depth, leaf_action, needs_alloc, pnodes, pactions,
+         root_pi) = st
         oh = node_onehot(V, node)  # [V, G]
         exp = gather_node(tree.expanded, oh)  # [G]
         live = ~found & exp  # lanes stepping one edge now
-        pi = gather_stat(tree.policy, oh)  # [A, G]
+        pi = node_policy(
+            gather_stat(tree.prior, oh),
+            gather_stat(tree.wsum, oh),
+            gather_stat(tree.visits, oh),
+            cpuct,
+        )  # [A, G]
+        root_pi = jnp.where(depth == 0, pi, root_pi)
         action = cdf_sample(pi, probs[depth])  # [G]
         pnodes = pnodes.at[depth].set(jnp.where(live, node, -1))
         pactions = pactions.at[depth].set(action)
@@ -125,7 +128,8 @@ def descend(game, tree: Tree, probs):
         needs_alloc = needs_alloc | hit_missing
         found = found | ~exp | hit_missing
         node = jnp.where(live & (cid > 0), cid, node)
-        return node, found, depth + 1, leaf_action, needs_alloc, pnodes, pactions
+        return (node, found, depth + 1, leaf_action, needs_alloc, pnodes,
+                pactions, root_pi)
 
     node0 = jnp.zeros((G,), jnp.int32)
     init = (
@@ -136,14 +140,38 @@ def descend(game, tree: Tree, probs):
         jnp.zeros((G,), bool),
         jnp.full((max_depth, G), -1, jnp.int32),
         jnp.zeros((max_depth, G), jnp.int32),
+        jnp.zeros((A, G), jnp.float32),
     )
-    node, _, _, leaf_action, needs_alloc, pnodes, pactions = (
+    (node, _, _, leaf_action, needs_alloc, pnodes, pactions, root_pi) = (
         jax.lax.while_loop(cond, body, init)
     )
     path = Path(pnodes, pactions, (pnodes >= 0).sum(0).astype(jnp.int32))
     # node is the final position: the unexpanded leaf itself, or the parent
     # of the to-be-allocated child.
-    return path, node, leaf_action, needs_alloc
+    return path, node, leaf_action, needs_alloc, root_pi
+
+
+def select(game, tree: Tree, probs, cpuct):
+    """One rollout's selection walk: returns
+    ``(path, node, leaf_action, needs_alloc, root_pi)``.
+
+    On TPU with lane-aligned shapes the walk (with its per-depth Newton
+    solves) runs as ONE VMEM-resident Pallas kernel - one HBM read of the
+    stats per rollout; elsewhere the jnp :func:`descend` runs, which is the
+    numerical reference."""
+    from .pallas_kernels import select_pallas, select_supported
+
+    if select_supported(tree.num_games, tree.num_nodes):
+        pnodes, pactions, node, leaf_action, needs_alloc, root_pi = (
+            select_pallas(
+                tree.prior, tree.wsum, tree.visits, tree.child,
+                tree.expanded, probs, float(cpuct),
+            )
+        )
+        path = Path(pnodes, pactions, (pnodes >= 0).sum(0).astype(jnp.int32))
+        return path, node, leaf_action, needs_alloc, root_pi
+
+    return descend(game, tree, probs, cpuct)
 
 
 def leaf_positions(game, tree: Tree, node, leaf_action, needs_alloc):
@@ -167,10 +195,10 @@ def expand(game, tree: Tree, node, leaf_action, needs_alloc, leaf_states,
     """Allocate the new children (same ids and order as the reference's
     in-walk `newindex` counter, mcts_gpu.jl:184), then write masked,
     normalized priors at each game's leaf; at the root during training mix
-    0.75 * p + 0.25 * uniform-over-legal - the hard-coded exploration mix of
-    the reference (mcts_gpu.jl:270-280; NB the CLI ``--noise`` flag is dead
-    there, the 25% mix is baked in).  Terminal leaves keep zero priors and
-    get expanded = False (mcts_gpu.jl:255-257).
+    0.75 * p + 0.25 * uniform(1/A) over legal moves - the hard-coded
+    exploration mix of the reference (mcts_gpu.jl:270-280; NB the CLI
+    ``--noise`` flag is dead there, the 25% mix is baked in).  Terminal
+    leaves keep zero priors and get expanded = False (mcts_gpu.jl:255-257).
 
     ``prior_nn``: [A, G].  Returns (tree, leaf, done, result).
     """
@@ -215,25 +243,21 @@ def expand(game, tree: Tree, node, leaf_action, needs_alloc, leaf_states,
     tree = tree._replace(
         expanded=scatter_node(tree.expanded, oh, ~done),
         prior=scatter_stat(tree.prior, oh, newp),
-        # expand copies prior -> policy for the first traversal
-        # (mcts_gpu.jl:297-299).
-        policy=scatter_stat(tree.policy, oh, newp),
     )
     return tree, leaf, done, result
 
 
 def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result):
-    """Update every edge on the recorded path: per edge q <- running mean of
-    the parity-flipped leaf value, visits += 1, path nodes marked stale
-    (backUp, mcts_gpu.jl:306-328).  The edge at depth d (leaf edge =
-    depth len-1) receives ``1 - flip^(len-1-d)(leaf_value)``; since all
-    path edges are distinct tree edges, every update is an independent
-    masked elementwise op - no gathers, no parent-pointer chasing.
+    """Update every edge on the recorded path: per edge value-sum +=
+    parity-flipped leaf value, visits += 1 (backUp, mcts_gpu.jl:306-328).
+    The edge at depth d (leaf edge = depth len-1) receives
+    ``1 - flip^(len-1-d)(leaf_value)``; since all path edges are distinct
+    tree edges, every update is an independent masked multiply-add.
 
     On TPU the walk runs as a VMEM-resident Pallas kernel (one HBM
     read/write of the stats per rollout instead of one per depth step);
     the jnp while_loop below is the fallback and numerical reference."""
-    from .pallas_kernels import backup_pallas, refresh_supported
+    from .pallas_kernels import backup_pallas, select_supported
 
     V = tree.num_nodes
     A = tree.num_actions
@@ -244,12 +268,12 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result):
         / 2.0,
         value_nn,
     )
-    if refresh_supported(tree.num_games, tree.num_nodes):
-        q, visits, uptodate = backup_pallas(
-            tree.q, tree.visits, tree.uptodate,
+    if select_supported(tree.num_games, tree.num_nodes):
+        wsum, visits = backup_pallas(
+            tree.wsum, tree.visits,
             path.nodes, path.actions, path.length, leaf_value,
         )
-        return tree._replace(q=q, visits=visits, uptodate=uptodate)
+        return tree._replace(wsum=wsum, visits=visits)
 
     max_len = jnp.max(path.length)
 
@@ -266,13 +290,10 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result):
         contrib = jnp.where(k % 2 == 0, 1.0 - leaf_value, leaf_value)
         oh = node_onehot(V, nodes) & valid[None, :]
         edge = (act_ids == actions[None, :])[:, None, :] & oh[None]
-        newq = (tree.visits * tree.q + contrib[None, None, :]) / (
-            tree.visits + 1.0
-        )
+        hit = edge.astype(jnp.float32)
         tree = tree._replace(
-            q=jnp.where(edge, newq, tree.q),
-            visits=jnp.where(edge, tree.visits + 1.0, tree.visits),
-            uptodate=tree.uptodate & ~oh,
+            wsum=tree.wsum + hit * contrib[None, None, :],
+            visits=tree.visits + hit,
         )
         return tree, d + 1
 
@@ -293,16 +314,18 @@ def run_mcts(
     probs=None,
 ):
     """One full search over all games for the current move: ``rollouts`` x
-    (refresh -> descend -> batched NN forward -> expand -> backup) as a
-    lax.scan (the reference's host rollout loop, mcts_gpu.jl:376-462, minus
-    its five per-stage device syncs).
+    (select -> batched NN forward -> expand -> backup) as a lax.scan (the
+    reference's host rollout loop, mcts_gpu.jl:376-462, minus its five
+    per-stage device syncs).
 
     ``probs``: optional f32[rollouts, D, G] uniform injection for tests.
-    Returns (tree, root_policy [A, G]).  The root policy is the stored policy
-    after the final rollout - one rollout stale, exactly like the reference's
-    `copy_pol` (mcts_gpu.jl:330-339, 443).
+    Returns (tree, root_policy [A, G]).  The root policy is the one the
+    final rollout's selection used - computed from the stats after
+    rollouts-1 backups, exactly like the reference's stored-policy extract
+    (`copy_pol`, mcts_gpu.jl:330-339, 443).
     """
     G = tree.num_games
+    A = tree.num_actions
     depth_cap = min(game.max_game_length, tree.num_nodes)
     if probs is None:
         keys = jax.random.split(rng, rollouts)
@@ -312,10 +335,12 @@ def run_mcts(
         xs = probs
         get_probs = lambda p: p
 
-    def body(tree, x):
+    def body(carry, x):
+        tree, _ = carry
         p = get_probs(x)
-        tree = refresh_policies(tree, cpuct)
-        path, node, leaf_action, needs_alloc = descend(game, tree, p)
+        path, node, leaf_action, needs_alloc, root_pi = select(
+            game, tree, p, cpuct
+        )
         leaf_states = leaf_positions(game, tree, node, leaf_action, needs_alloc)
         enc = jax.vmap(game.encode)(leaf_states)  # [G, in] - batch-major
         logits, v = net_apply(params, enc)
@@ -327,7 +352,9 @@ def run_mcts(
         tree = backup(
             tree, path, leaf_states.player, v, done, result
         )
-        return tree, None
+        return (tree, root_pi), None
 
-    tree, _ = jax.lax.scan(body, tree, xs)
-    return tree, tree.policy[:, 0]  # root policy [A, G]
+    (tree, root_pi), _ = jax.lax.scan(
+        body, (tree, jnp.zeros((A, G), jnp.float32)), xs
+    )
+    return tree, root_pi

@@ -36,11 +36,9 @@ class Tree(NamedTuple):
     parent: jnp.ndarray  # i32[V, G], -1 = none
     action_from: jnp.ndarray  # i32[V, G]
     expanded: jnp.ndarray  # bool[V, G]
-    uptodate: jnp.ndarray  # bool[V, G]
     states: Any  # game-state pytree, leaves [V, *S, G]
     prior: jnp.ndarray  # f32[A, V, G]
-    policy: jnp.ndarray  # f32[A, V, G]
-    q: jnp.ndarray  # f32[A, V, G]
+    wsum: jnp.ndarray  # f32[A, V, G] - per-edge backed-up value sum
     visits: jnp.ndarray  # f32[A, V, G]
     child: jnp.ndarray  # i32[A, V, G], 0 = none
     next_idx: jnp.ndarray  # i32[G] - next free node slot
@@ -56,6 +54,14 @@ class Tree(NamedTuple):
     @property
     def num_actions(self) -> int:
         return self.prior.shape[0]
+
+    @property
+    def q(self) -> jnp.ndarray:
+        """Per-edge mean value (the reference stores this incrementally,
+        mcts_gpu.jl:319; storing the sum makes backup divide-free)."""
+        return jnp.where(
+            self.visits > 0, self.wsum / jnp.maximum(self.visits, 1.0), 0.0
+        )
 
 
 def _to_tree_layout(batched_leaf):
@@ -90,11 +96,9 @@ def init_tree(game, positions, num_nodes: int) -> Tree:
         parent=jnp.full((V, G), -1, jnp.int32),
         action_from=jnp.zeros((V, G), jnp.int32),
         expanded=jnp.zeros((V, G), bool),
-        uptodate=jnp.ones((V, G), bool),
         states=jax.tree.map(alloc_state, positions),
         prior=jnp.zeros((A, V, G), jnp.float32),
-        policy=jnp.zeros((A, V, G), jnp.float32),
-        q=jnp.zeros((A, V, G), jnp.float32),
+        wsum=jnp.zeros((A, V, G), jnp.float32),
         visits=jnp.zeros((A, V, G), jnp.float32),
         child=jnp.zeros((A, V, G), jnp.int32),
         next_idx=jnp.ones((G,), jnp.int32),
@@ -114,11 +118,9 @@ def reset_tree(tree: Tree, positions) -> Tree:
         parent=jnp.full_like(tree.parent, -1),
         action_from=jnp.zeros_like(tree.action_from),
         expanded=jnp.zeros_like(tree.expanded),
-        uptodate=jnp.ones_like(tree.uptodate),
         states=jax.tree.map(reset_state, tree.states, positions),
         prior=jnp.zeros_like(tree.prior),
-        policy=jnp.zeros_like(tree.policy),
-        q=jnp.zeros_like(tree.q),
+        wsum=jnp.zeros_like(tree.wsum),
         visits=jnp.zeros_like(tree.visits),
         child=jnp.zeros_like(tree.child),
         next_idx=jnp.ones_like(tree.next_idx),
