@@ -23,7 +23,7 @@ def make_variant(do_select=True, do_backup=True, use_nn=True, do_expand=True):
         def body(tree, k):
             p = jax.random.uniform(k, (depth_cap, G))
             if do_select:
-                tree, path, node, leaf_action, needs_alloc = S.select(
+                path, node, leaf_action, needs_alloc, root_pi = S.select(
                     game, tree, p, 1.5)
             else:
                 node = jnp.zeros((G,), jnp.int32)
@@ -54,7 +54,7 @@ def make_variant(do_select=True, do_backup=True, use_nn=True, do_expand=True):
             return tree, None
 
         tree, _ = jax.lax.scan(body, tree, keys)
-        return tree.policy[:, 0]
+        return tree.prior[:, 0]
 
     return jax.jit(run)
 

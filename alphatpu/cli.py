@@ -53,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--duel-games", type=int, default=1024)
     p.add_argument("--duel-rollouts", type=int, default=32)
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous selfplay: --samples parallel lanes play "
+                        "back-to-back games for --rounds move rounds "
+                        "(~1.5x throughput; finished lanes recycle instantly)")
+    p.add_argument("--rounds", type=int, default=None,
+                   help="move rounds per lane in --continuous mode "
+                        "(default 2x the game's max length)")
+    p.add_argument("--bf16-inference", action="store_true",
+                   help="evaluate the in-search net in bfloat16 (MXU-native;"
+                        " training stays f32)")
     p.add_argument("--temp-moves", type=int, default=25)
     p.add_argument("--duel-temp-moves", type=int, default=15)
     p.add_argument("--seed", type=int, default=0)
@@ -72,17 +82,28 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_pipeline_config(args, game):
+    from functools import partial
+
+    import jax.numpy as jnp
+
     from .duel import DuelConfig
+    from .nets import apply_inference
     from .pipeline import PipelineConfig
     from .selfplay import SelfplayConfig
     from .train import TrainConfig
 
+    net_apply = (
+        partial(apply_inference, compute_dtype=jnp.bfloat16)
+        if args.bf16_inference else apply_inference
+    )
     return PipelineConfig(
         selfplay=SelfplayConfig(
             num_games=args.samples,
             rollouts=args.rollout,
             cpuct=args.cpuct,
             temp_moves=args.temp_moves,
+            continuous=args.continuous,
+            rounds=args.rounds,
         ),
         train=TrainConfig(
             batch_size=args.batchsize,
@@ -105,6 +126,7 @@ def make_pipeline_config(args, game):
             args.ckpt_dir or f"Data{args.game}"
         ),
         save_buffer=args.save_buffer,
+        net_apply=net_apply,
     )
 
 

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..buffer import ReplayBuffer
 from ..duel import DuelConfig, duel_half
-from ..selfplay import SelfplayConfig, selfplay_generation
+from ..selfplay import SelfplayConfig, selfplay_continuous, selfplay_generation
 from ..train import TrainConfig, train_epoch
 
 AXIS = "dp"
@@ -62,6 +62,7 @@ def sharded_selfplay_fn(game, net_apply, cfg: SelfplayConfig, mesh: Mesh):
     D = mesh.devices.size
     assert cfg.num_games % D == 0, "num_games must divide the mesh size"
     local_cfg = cfg._replace(num_games=cfg.num_games // D)
+    selfplay = selfplay_continuous if cfg.continuous else selfplay_generation
 
     @jax.jit
     @partial(
@@ -72,7 +73,7 @@ def sharded_selfplay_fn(game, net_apply, cfg: SelfplayConfig, mesh: Mesh):
         check_vma=False,
     )
     def run(params, buffer, keys):
-        buffer, stats = selfplay_generation(
+        buffer, stats = selfplay(
             game, net_apply, params, buffer, keys[0], local_cfg
         )
         return buffer, _psum_stats(stats)

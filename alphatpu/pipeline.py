@@ -22,12 +22,13 @@ from . import checkpoint as ckpt
 from .buffer import buffer_size, create_buffer
 from .duel import DuelConfig, duel_network, elo_update
 from .nets.mlp import apply_inference, config_for_game, init_params
-from .selfplay import SelfplayConfig, selfplay_generation
+from .selfplay import SelfplayConfig, selfplay_continuous, selfplay_generation
 from .train import TrainConfig, make_optimizer, train_epoch
 
 # Module-level jit wrappers so repeated generations hit the compile cache
 # (static args: game object, net apply fn, config NamedTuples, optimizer).
 _selfplay_jit = jax.jit(selfplay_generation, static_argnums=(0, 1, 5))
+_selfplay_cont_jit = jax.jit(selfplay_continuous, static_argnums=(0, 1, 5))
 _train_jit = jax.jit(train_epoch, static_argnums=(4, 5))
 
 
@@ -81,7 +82,8 @@ def run_generation(game, state: PipelineState, cfg: PipelineConfig):
     state.rng, k_sp, k_tr, k_duel = jax.random.split(state.rng, 4)
 
     t0 = time.time()
-    state.buffer, sp_stats = _selfplay_jit(
+    selfplay = _selfplay_cont_jit if cfg.selfplay.continuous else _selfplay_jit
+    state.buffer, sp_stats = selfplay(
         game, cfg.net_apply, state.best_params, state.buffer, k_sp, cfg.selfplay
     )
     sp_stats = jax.device_get(sp_stats)
@@ -94,7 +96,7 @@ def run_generation(game, state: PipelineState, cfg: PipelineConfig):
     )
     if int(sp_stats["illegal_moves"]):
         log(f"[gen {gen}] WARNING illegal moves: {int(sp_stats['illegal_moves'])}")
-    if int(sp_stats["unfinished"]):
+    if not cfg.selfplay.continuous and int(sp_stats["unfinished"]):
         log(f"[gen {gen}] note: {int(sp_stats['unfinished'])} unfinished games")
 
     t0 = time.time()

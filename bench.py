@@ -20,9 +20,13 @@ import jax
 
 
 def main():
-    games = int(os.environ.get("BENCH_GAMES", 16384))
+    # 8192 lanes is the single-chip sweet spot: the whole tree stays
+    # VMEM-resident across a search (v5e has 128 MB VMEM), and continuous
+    # mode decouples lane count from samples per generation - more samples
+    # just means more rounds.
+    games = int(os.environ.get("BENCH_GAMES", 8192))
     rollouts = int(os.environ.get("BENCH_ROLLOUTS", 64))
-    rounds = int(os.environ.get("BENCH_ROUNDS", 84))
+    rounds = int(os.environ.get("BENCH_ROUNDS", 168))
 
     from alphatpu.buffer import create_buffer
     from alphatpu.games import make_game
