@@ -74,7 +74,8 @@ def make_engine(game, net_apply, rollouts: int, cpuct: float):
             game, net_apply, params, tree, key,
             rollouts=rollouts, cpuct=cpuct, training=False,
         )
-        return jnp.argmax(pol[0]), pol[0]
+        pi = pol[:, 0]  # root policy is [A, G] games-minor; G = 1 here
+        return jnp.argmax(pi), pi
 
     return jax.jit(choose)
 

@@ -82,6 +82,29 @@ def test_cli_parser_matches_reference_flags():
     assert d.batchsize == 8192 and abs(d.cpuct - 1.5) < 1e-9
 
 
+def test_interactive_engine_plays_legally():
+    """The G=1 engine returns a legal move with positive root probability
+    (regression: the [A, G] root policy must be indexed games-minor)."""
+    from alphatpu.interactive import make_engine
+    from alphatpu.nets import apply_inference, config_for_game, init_params
+
+    game = make_game("tictactoe")
+    params = init_params(jax.random.key(0), config_for_game(game, width=32,
+                                                            depth=2))
+    engine = make_engine(game, apply_inference, rollouts=16, cpuct=1.5)
+
+    pos = game.initial()
+    # play a couple of engine-vs-engine plies
+    for ply in range(3):
+        action, pi = engine(params, pos, jax.random.key(ply))
+        a = int(action)
+        legal = np.asarray(game.legal_mask(pos))
+        assert legal[a], f"ply {ply}: engine chose illegal move {a}"
+        assert float(pi[a]) > 0
+        assert abs(float(np.asarray(pi).sum()) - 1.0) < 0.05
+        pos = jax.jit(game.play)(pos, a)
+
+
 def test_interactive_move_parsing():
     from alphatpu.games import make_game
     from alphatpu.interactive import move_name, parse_move
