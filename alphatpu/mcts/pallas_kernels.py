@@ -32,20 +32,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .newton import ALPHA_FLOOR, NEWTON_CHUNK, NEWTON_MAX_CHUNKS, NEWTON_TOL
 
-# f32 lane tile is (8, 128): G blocks must be multiples of 128.  256 keeps
-# the double-buffered [A, V, Gb] stat blocks + temporaries well under the
-# 16 MB VMEM budget at V = 64.
-GAMES_BLOCK = 256
+# f32 lane tile is (8, 128): G blocks must be multiples of 128.  256 lanes
+# for small action spaces; 128 for wide boards (Gobang/Hex/Reversi8) whose
+# [A, V, Gb] stat blocks are A-times larger.
+_VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic default is 16 MB; v5e has 128 MB
 
 
-def select_supported(num_games: int, num_nodes: int = 8) -> bool:
+def games_block(num_actions: int) -> int:
+    return 256 if num_actions <= 16 else 128
+
+
+def _narrow(num_actions: int) -> bool:
+    """Narrow action spaces keep per-action [V, Gb] values live in vector
+    registers / scoped stack; wide boards (A up to 169) must stream from the
+    VMEM-resident refs instead or they blow the scoped-vmem budget."""
+    return num_actions <= 16
+
+
+def _compiler_params(num_actions: int):
+    # Only wide boards need the raised scoped-vmem ceiling; the default
+    # 16 MB budget compiles measurably better schedules for narrow games.
+    if _narrow(num_actions):
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
     """The kernel path needs a TPU backend (the axon tunnel platform is a
-    TPU) and tile-aligned dims: G on the 128 lanes, V on the 8 sublanes."""
+    TPU), tile-aligned dims (G on the 128 lanes, V on the 8 sublanes) and
+    stat blocks that fit VMEM."""
     backend = jax.default_backend()
+    gb = games_block(num_actions)
+    # 4 stat blocks, double-buffered in/out, f32 - stay under the limit
+    block_bytes = num_actions * num_nodes * gb * 4
     return (
         backend in ("tpu", "axon")
-        and num_games % GAMES_BLOCK == 0
+        and num_games % gb == 0
         and num_nodes % 8 == 0
+        and 10 * block_bytes < _VMEM_LIMIT
     )
 
 
@@ -118,10 +142,14 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
     V = prior_ref.shape[1]
     Gb = prior_ref.shape[2]
     expanded = expanded_ref[:] != 0  # [V, Gb]
-    prior_a = [prior_ref[a] for a in range(A)]
-    wsum_a = [wsum_ref[a] for a in range(A)]
-    visits_a = [visits_ref[a] for a in range(A)]
-    child_a = [child_ref[a] for a in range(A)]
+    if _narrow(A):  # registers for narrow games, ref streams for wide ones
+        prior_s = [prior_ref[a] for a in range(A)]
+        wsum_s = [wsum_ref[a] for a in range(A)]
+        visits_s = [visits_ref[a] for a in range(A)]
+        child_s = [child_ref[a] for a in range(A)]
+    else:
+        prior_s, wsum_s, visits_s, child_s = (
+            prior_ref, wsum_ref, visits_ref, child_ref)
     vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
     nodes_out[:] = jnp.full((max_depth, Gb), -1, jnp.int32)
     actions_out[:] = jnp.zeros((max_depth, Gb), jnp.int32)
@@ -137,11 +165,11 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
                       keepdims=True)  # [1, Gb] in {0,1}
         live = (1.0 - found) * exp
         # gather the stat rows at each game's node, solve for its policy
-        p_a = [jnp.sum(prior_a[a] * oh, axis=0, keepdims=True)
+        p_a = [jnp.sum(prior_s[a] * oh, axis=0, keepdims=True)
                for a in range(A)]
-        w_a = [jnp.sum(wsum_a[a] * oh, axis=0, keepdims=True)
+        w_a = [jnp.sum(wsum_s[a] * oh, axis=0, keepdims=True)
                for a in range(A)]
-        v_a = [jnp.sum(visits_a[a] * oh, axis=0, keepdims=True)
+        v_a = [jnp.sum(visits_s[a] * oh, axis=0, keepdims=True)
                for a in range(A)]
         pi_a = _node_policy_rows(p_a, w_a, v_a, cpuct=cpuct,
                                  num_actions=A)
@@ -174,7 +202,7 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
 
         cid = jnp.zeros_like(prob)
         for a in range(A):
-            ca = jnp.sum(child_a[a].astype(jnp.float32) * oh, axis=0,
+            ca = jnp.sum(child_s[a].astype(jnp.float32) * oh, axis=0,
                          keepdims=True)
             cid = cid + ca * (action == a).astype(jnp.float32)
         cid = cid.astype(jnp.int32)
@@ -206,8 +234,9 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float):
     the per-rollout selection walk in one kernel.  probs: f32[D, G]."""
     A, V, G = prior.shape
     D = probs.shape[0]
-    assert G % GAMES_BLOCK == 0
-    grid = (G // GAMES_BLOCK,)
+    Gb = games_block(A)
+    assert G % Gb == 0
+    grid = (G // Gb,)
 
     def avg(i):
         return (0, 0, i)
@@ -215,11 +244,11 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float):
     def vg(i):
         return (0, i)
 
-    stat_spec = pl.BlockSpec((A, V, GAMES_BLOCK), avg, memory_space=pltpu.VMEM)
-    vg_spec = pl.BlockSpec((V, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
-    dg_spec = pl.BlockSpec((D, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
-    ag_spec = pl.BlockSpec((A, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((A, V, Gb), avg, memory_space=pltpu.VMEM)
+    vg_spec = pl.BlockSpec((V, Gb), vg, memory_space=pltpu.VMEM)
+    dg_spec = pl.BlockSpec((D, Gb), vg, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, Gb), vg, memory_space=pltpu.VMEM)
+    ag_spec = pl.BlockSpec((A, Gb), vg, memory_space=pltpu.VMEM)
 
     nodes, actions, node, laction, alloc, rootpi = pl.pallas_call(
         functools.partial(_select_kernel, cpuct=cpuct, num_actions=A,
@@ -236,6 +265,7 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float):
         in_specs=[stat_spec, stat_spec, stat_spec, stat_spec, vg_spec,
                   dg_spec],
         out_specs=(dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
+        compiler_params=_compiler_params(A),
     )(prior, wsum, visits, child, expanded.astype(jnp.int8), probs)
     return nodes, actions, node[0], laction[0], alloc[0] != 0, rootpi
 
@@ -258,37 +288,59 @@ def _backup_kernel(nodes_ref, actions_ref, length_ref, value_ref,
     value = value_ref[:]  # [1, Gb] f32
     vio = jax.lax.broadcasted_iota(jnp.int32, (V, length.shape[1]), 0)
 
-    w_a = [wsum_in[a] for a in range(A)]
-    vis_a = [visits_in[a] for a in range(A)]
-
     max_len = jnp.max(length)
 
-    def cond(st):
-        d = st[0]
-        return d < max_len
-
-    def body(st):
-        d, w_a, vis_a = st
+    def edge_update(d, get_w, get_v):
         nodes = nodes_ref[pl.ds(d, 1), :]  # [1, Gb]
         actions = actions_ref[pl.ds(d, 1), :]
         valid = nodes >= 0
         k = length - 1 - d
         contrib = jnp.where(k % 2 == 0, 1.0 - value, value)  # [1, Gb]
         oh = (vio == nodes) & valid  # [V, Gb]
-        new_w = []
-        new_vis = []
+        out_w, out_v = [], []
         for a in range(A):
             hit = (oh & (actions == a)).astype(jnp.float32)
-            new_w.append(w_a[a] + hit * contrib)
-            new_vis.append(vis_a[a] + hit)
-        return d + 1, new_w, new_vis
+            out_w.append(get_w(a) + hit * contrib)
+            out_v.append(get_v(a) + hit)
+        return out_w, out_v
 
-    _, w_a, vis_a = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), w_a, vis_a)
-    )
-    for a in range(A):
-        wsum_out[a] = w_a[a]
-        visits_out[a] = vis_a[a]
+    if _narrow(A):
+        # carry the whole stat block through the loop in registers/stack
+        def cond(st):
+            return st[0] < max_len
+
+        def body(st):
+            d, w_a, vis_a = st
+            w_a, vis_a = edge_update(d, lambda a: w_a[a], lambda a: vis_a[a])
+            return d + 1, w_a, vis_a
+
+        _, w_a, vis_a = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), [wsum_in[a] for a in range(A)],
+             [visits_in[a] for a in range(A)]),
+        )
+        for a in range(A):
+            wsum_out[a] = w_a[a]
+            visits_out[a] = vis_a[a]
+    else:
+        # wide boards: update the output refs in place (carrying A x [V, Gb]
+        # values would blow the scoped-vmem budget at A up to 169)
+        for a in range(A):
+            wsum_out[a] = wsum_in[a]
+            visits_out[a] = visits_in[a]
+
+        def cond2(d):
+            return d < max_len
+
+        def body2(d):
+            w_a, vis_a = edge_update(
+                d, lambda a: wsum_out[a], lambda a: visits_out[a])
+            for a in range(A):
+                wsum_out[a] = w_a[a]
+                visits_out[a] = vis_a[a]
+            return d + 1
+
+        jax.lax.while_loop(cond2, body2, jnp.int32(0))
 
 
 @jax.jit
@@ -301,7 +353,8 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
     """
     A, V, G = wsum.shape
     D = path_nodes.shape[0]
-    grid = (G // GAMES_BLOCK,)
+    Gb = games_block(A)
+    grid = (G // Gb,)
 
     def avg(i):
         return (0, 0, i)
@@ -309,9 +362,9 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
     def vg(i):
         return (0, i)
 
-    stat_spec = pl.BlockSpec((A, V, GAMES_BLOCK), avg, memory_space=pltpu.VMEM)
-    dg_spec = pl.BlockSpec((D, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, GAMES_BLOCK), vg, memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((A, V, Gb), avg, memory_space=pltpu.VMEM)
+    dg_spec = pl.BlockSpec((D, Gb), vg, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, Gb), vg, memory_space=pltpu.VMEM)
 
     w2, v2 = pl.pallas_call(
         functools.partial(_backup_kernel, num_actions=A),
@@ -324,6 +377,7 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
                   stat_spec, stat_spec],
         out_specs=(stat_spec, stat_spec),
         input_output_aliases={4: 0, 5: 1},
+        compiler_params=_compiler_params(A),
     )(
         path_nodes, path_actions, path_length[None, :],
         leaf_value[None, :], wsum, visits,

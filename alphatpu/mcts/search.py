@@ -161,7 +161,7 @@ def select(game, tree: Tree, probs, cpuct):
     numerical reference."""
     from .pallas_kernels import select_pallas, select_supported
 
-    if select_supported(tree.num_games, tree.num_nodes):
+    if select_supported(tree.num_games, tree.num_nodes, tree.num_actions):
         pnodes, pactions, node, leaf_action, needs_alloc, root_pi = (
             select_pallas(
                 tree.prior, tree.wsum, tree.visits, tree.child,
@@ -268,7 +268,7 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result):
         / 2.0,
         value_nn,
     )
-    if select_supported(tree.num_games, tree.num_nodes):
+    if select_supported(tree.num_games, tree.num_nodes, tree.num_actions):
         wsum, visits = backup_pallas(
             tree.wsum, tree.visits,
             path.nodes, path.actions, path.length, leaf_value,

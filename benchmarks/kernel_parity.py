@@ -1,10 +1,10 @@
 """On-TPU parity of the Pallas select/backup kernels vs the jnp reference.
 
-Runs a full 32-rollout search twice on the same tree and RNG - once through
-the kernel path (as shipped) and once forcing the jnp fallback - and
-compares the resulting trees and root policies.
+For each game, runs a full 32-rollout search twice on the same tree and
+RNG - once through the kernel path (as shipped) and once forcing the jnp
+fallback - and compares the resulting trees and root policies.
 """
-import jax, jax.numpy as jnp
+import jax
 import numpy as np
 
 import alphatpu.mcts.pallas_kernels as K
@@ -14,29 +14,42 @@ from alphatpu.mcts.tree import init_tree
 from alphatpu.nets import apply_inference, config_for_game, init_params
 from alphatpu.selfplay import broadcast_initial
 
-G, R = 1024, 32
-game = make_game("connect4")
-params = init_params(jax.random.key(0), config_for_game(game, width=64, depth=2))
-positions = broadcast_initial(game, G)
-tree0 = init_tree(game, positions, R)
 
-run = jax.jit(lambda t, k: run_mcts(game, apply_inference, params, t, k,
-                                    rollouts=R, cpuct=1.5, training=True))
+def check(name, G=1024, R=32):
+    game = make_game(name)
+    params = init_params(jax.random.key(0),
+                         config_for_game(game, width=64, depth=2))
+    positions = broadcast_initial(game, G)
+    tree0 = init_tree(game, positions, R)
 
-tree_k, pol_k = jax.device_get(run(tree0, jax.random.key(1)))
+    def search(t, k):
+        return run_mcts(game, apply_inference, params, t, k,
+                        rollouts=R, cpuct=1.5, training=True)
 
-orig = K.select_supported
-K.select_supported = lambda *a, **kw: False
-run2 = jax.jit(lambda t, k: run_mcts(game, apply_inference, params, t, k,
-                                     rollouts=R, cpuct=1.5, training=True))
-tree_j, pol_j = jax.device_get(run2(tree0, jax.random.key(1)))
-K.select_supported = orig
+    assert K.select_supported(G, R, game.max_actions), name
+    tree_k, pol_k = jax.device_get(jax.jit(search)(tree0, jax.random.key(1)))
 
-for name in ("parent", "action_from", "expanded", "child", "next_idx",
-             "visits"):
-    a, b = getattr(tree_k, name), getattr(tree_j, name)
-    ok = np.array_equal(np.asarray(a), np.asarray(b))
-    print(f"{name:12s} equal: {ok}")
-print("wsum maxdiff:", np.abs(tree_k.wsum - tree_j.wsum).max())
-print("prior maxdiff:", np.abs(tree_k.prior - tree_j.prior).max())
-print("rootpi maxdiff:", np.abs(pol_k - pol_j).max())
+    orig = K.select_supported
+    K.select_supported = lambda *a, **kw: False
+    try:
+        tree_j, pol_j = jax.device_get(
+            jax.jit(search)(tree0, jax.random.key(1))
+        )
+    finally:
+        K.select_supported = orig
+
+    print(f"--- {name} (A={game.max_actions}) ---")
+    for field in ("parent", "action_from", "expanded", "child", "next_idx",
+                  "visits"):
+        a, b = getattr(tree_k, field), getattr(tree_j, field)
+        print(f"  {field:12s} equal: "
+              f"{np.array_equal(np.asarray(a), np.asarray(b))}")
+    print(f"  wsum maxdiff:   {np.abs(tree_k.wsum - tree_j.wsum).max()}")
+    print(f"  prior maxdiff:  {np.abs(tree_k.prior - tree_j.prior).max()}")
+    print(f"  rootpi maxdiff: {np.abs(pol_k - pol_j).max()}")
+
+
+if __name__ == "__main__":
+    check("connect4")       # A=7, narrow
+    check("reversi6x6")     # A=37, pass action
+    check("hex7")           # A=49, wide block path
