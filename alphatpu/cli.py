@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = all available, 1 = single-device path)")
     p.add_argument("--stats-file", default=None,
                    help="append per-generation stats as JSON lines")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first "
+                        "generation into this directory (the TPU-native "
+                        "form of the reference's per-stage timers, "
+                        "mcts_gpu.jl:377-459)")
     return p
 
 
@@ -168,8 +173,15 @@ def main(argv=None) -> int:
         print(f"resumed at generation {state.generation}, elo {state.elo:.1f}")
 
     t0 = time.time()
+    first_gen = True
     while state.generation < cfg.generations:
-        state, stats = run_generation(game, state, cfg)
+        if args.profile_dir and first_gen:
+            with jax.profiler.trace(args.profile_dir):
+                state, stats = run_generation(game, state, cfg)
+            print(f"profiler trace written to {args.profile_dir}")
+        else:
+            state, stats = run_generation(game, state, cfg)
+        first_gen = False
         if args.stats_file:
             with open(args.stats_file, "a") as f:
                 f.write(json.dumps(stats, default=float) + "\n")

@@ -46,6 +46,28 @@ def test_sharded_selfplay(mesh):
     assert (totals > 0).all()
 
 
+def test_sharded_continuous_selfplay(mesh):
+    """Continuous (lane-recycling) selfplay shards identically: per-device
+    lanes, per-device episode tables, psum'd stats."""
+    game = make_game("tictactoe")
+    params = init_params(jax.random.key(0), config_for_game(game, width=32, depth=2))
+    D = mesh.devices.size
+    T = 16
+    cfg = SelfplayConfig(num_games=2 * D, rollouts=12, continuous=True,
+                         rounds=T)
+    buf = create_buffer(game, capacity=128 * D, shards=D)
+    run = sharded_selfplay_fn(game, apply_inference, cfg, mesh)
+    buf, stats = run(params, buf, device_keys(jax.random.key(1), mesh))
+    stats = {k: np.asarray(v) for k, v in stats.items()}
+    assert stats["illegal_moves"] == 0
+    finished = stats["wins"] + stats["draws"] + stats["losses"]
+    assert finished == stats["games_finished"]
+    assert finished >= 2 * D  # >= one episode per lane in 16 rounds
+    assert stats["samples_written"] + stats["unfinished"] == T * 2 * D
+    assert int(np.asarray(global_buffer_size(buf))) == stats["samples_written"]
+    assert (np.asarray(buf.total) > 0).all()
+
+
 def test_sharded_train_matches_single_device(mesh):
     """pmean-of-shard-gradients == single-device gradient on the same global
     batch: run one update with identical data distributed vs gathered."""
