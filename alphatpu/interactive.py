@@ -91,6 +91,9 @@ def main(argv=None) -> int:
                    help="let the engine move first")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--depth", type=int, default=None)
+    p.add_argument("--svg", default=None,
+                   help="write the current board to this SVG file each ply "
+                        "(the reference's Luxor renderer, testHex.jl:71-112)")
     args = p.parse_args(argv)
 
     from .games import make_game
@@ -116,6 +119,10 @@ def main(argv=None) -> int:
     ply = 0
     while True:
         print(f"\n{game.render(pos)}")
+        if args.svg:
+            from .render import save_board_svg
+
+            save_board_svg(game, pos, args.svg)
         done, result = jax.jit(game.is_over)(pos)
         if bool(done):
             r = int(result)

@@ -105,6 +105,32 @@ def test_interactive_engine_plays_legally():
         pos = jax.jit(game.play)(pos, a)
 
 
+def test_board_svg_all_games():
+    """SVG renderer emits well-formed markup with the right stone counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from alphatpu.render import board_svg
+
+    for name, moves in [
+        ("tictactoe", [4, 0, 8]),
+        ("connect4", [3, 3, 2]),
+        ("hex5", [7, 12, 6]),
+        ("reversi6x6", []),
+    ]:
+        game = make_game(name)
+        pos = game.initial()
+        for m in moves:
+            pos = jax.jit(game.play)(pos, jnp.int32(m))
+        svg = board_svg(game, pos)
+        assert svg.startswith("<svg") and svg.endswith("</svg>")
+        n_stones = svg.count("<circle")
+        expected = len(moves) + (4 if name.startswith("reversi") else 0)
+        assert n_stones == expected, (name, n_stones, expected)
+        if name == "hex5":
+            assert svg.count("<polygon") == 25  # inner 5x5 hexagons
+
+
 def test_interactive_move_parsing():
     from alphatpu.games import make_game
     from alphatpu.interactive import move_name, parse_move
