@@ -338,6 +338,7 @@ def run_mcts(
     def body(carry, x):
         tree, _ = carry
         p = get_probs(x)
+        root_was_expanded = tree.expanded[0]  # [G]
         path, node, leaf_action, needs_alloc, root_pi = select(
             game, tree, p, cpuct
         )
@@ -348,6 +349,13 @@ def run_mcts(
         tree, leaf, done, result = expand(
             game, tree, node, leaf_action, needs_alloc, leaf_states, prior,
             training,
+        )
+        # When this rollout expanded the root itself (only possible on the
+        # first rollout), the selection saw no policy; the stored-policy
+        # reference would report the freshly written (noise-mixed) root
+        # prior (mcts_gpu.jl:297-299) - matters only for rollouts == 1.
+        root_pi = jnp.where(
+            root_was_expanded[None, :], root_pi, tree.prior[:, 0]
         )
         tree = backup(
             tree, path, leaf_states.player, v, done, result

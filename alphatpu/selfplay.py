@@ -55,6 +55,44 @@ def broadcast_initial(game, num_games: int):
     )
 
 
+def _decide_moves(game, net_apply, params, positions, tree, ep_move, rng,
+                  cfg: SelfplayConfig):
+    """One move round shared by both selfplay modes: search every lane's
+    position, pick a move (sample while the lane's in-episode move index is
+    below the temperature cutoff, argmax after - mcts_gpu.jl:518-524), and
+    apply it.
+
+    Returns ``(tree, root_enc, player, pol, ok, newpos, finished, result)``
+    where ``ok`` is the per-lane legality of the chosen move (the
+    reference's "faute" check, mcts_gpu.jl:526-529) and (finished, result)
+    come from ``is_over`` on the played position.
+    """
+    G = positions.player.shape[0]
+    k_mcts, k_samp = jax.random.split(rng)
+
+    tree = reset_tree(tree, positions)
+    tree, pol = run_mcts(
+        game, net_apply, params, tree, k_mcts,
+        rollouts=cfg.rollouts, cpuct=cfg.cpuct, training=True,
+    )
+
+    root_enc = jax.vmap(game.encode)(positions).astype(jnp.int8)
+
+    # pol is [A, G] (games-minor); sampling matches the reference's
+    # Weights() draw: uniform * total mass, CDF walk.
+    u = jax.random.uniform(k_samp, (G,)) * pol.sum(0)
+    sampled = cdf_sample(pol, u)
+    greedy = jnp.argmax(pol, axis=0).astype(jnp.int32)
+    action = jnp.where(ep_move < cfg.temp_moves, sampled, greedy)
+
+    legal = jax.vmap(game.legal_mask)(positions)
+    ok = jnp.take_along_axis(legal, action[:, None], axis=-1)[:, 0]
+
+    newpos = jax.vmap(game.play)(positions, action)
+    finished, result = jax.vmap(game.is_over)(newpos)
+    return tree, root_enc, positions.player, pol, ok, newpos, finished, result
+
+
 def selfplay_generation(
     game, net_apply, params, buffer: ReplayBuffer, rng, cfg: SelfplayConfig
 ):
@@ -73,36 +111,15 @@ def selfplay_generation(
 
     def move_body(carry, t):
         positions, done, result, fin_t, illegal, tree, rng = carry
-        rng, k_mcts, k_samp = jax.random.split(rng, 3)
-
-        tree = reset_tree(tree, positions)
-        tree, pol = run_mcts(
-            game,
-            net_apply,
-            params,
-            tree,
-            k_mcts,
-            rollouts=cfg.rollouts,
-            cpuct=cfg.cpuct,
-            training=True,
-        )
-
-        root_enc = jax.vmap(game.encode)(positions).astype(jnp.int8)
-        player_t = positions.player
+        rng, k_move = jax.random.split(rng)
         alive = ~done
 
-        # pol is [A, G] (games-minor); sampling matches the reference's
-        # Weights() draw: uniform * total mass, CDF walk.
-        u = jax.random.uniform(k_samp, (G,)) * pol.sum(0)
-        sampled = cdf_sample(pol, u)
-        greedy = jnp.argmax(pol, axis=0).astype(jnp.int32)
-        action = jnp.where(t < cfg.temp_moves, sampled, greedy)
-
-        legal = jax.vmap(game.legal_mask)(positions)
-        ok = jnp.take_along_axis(legal, action[:, None], axis=-1)[:, 0]
+        # every lane started at t=0 here, so the in-episode move index is t
+        tree, root_enc, player_t, pol, ok, newpos, f, r = _decide_moves(
+            game, net_apply, params, positions, tree,
+            jnp.full((G,), t, jnp.int32), k_move, cfg,
+        )
         illegal = illegal + (alive & ~ok).sum()
-
-        newpos = jax.vmap(game.play)(positions, action)
         positions = jax.tree.map(
             lambda new, old: jnp.where(
                 alive.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
@@ -110,7 +127,6 @@ def selfplay_generation(
             newpos,
             positions,
         )
-        f, r = jax.vmap(game.is_over)(positions)
         newly = alive & f
         result = jnp.where(newly, r, result)
         fin_t = jnp.where(newly, t, fin_t)
@@ -206,35 +222,13 @@ def selfplay_continuous(
     def move_body(carry, t):
         (positions, eid, ep_start, res_table, ftable, counters, illegal,
          tree, rng) = carry
-        rng, k_mcts, k_samp = jax.random.split(rng, 3)
+        rng, k_move = jax.random.split(rng)
 
-        tree = reset_tree(tree, positions)
-        tree, pol = run_mcts(
-            game,
-            net_apply,
-            params,
-            tree,
-            k_mcts,
-            rollouts=cfg.rollouts,
-            cpuct=cfg.cpuct,
-            training=True,
-        )
-
-        root_enc = jax.vmap(game.encode)(positions).astype(jnp.int8)
-        player_t = positions.player
-
-        u = jax.random.uniform(k_samp, (G,)) * pol.sum(0)
-        sampled = cdf_sample(pol, u)
-        greedy = jnp.argmax(pol, axis=0).astype(jnp.int32)
         ep_move = t - ep_start  # move index within the lane's episode
-        action = jnp.where(ep_move < cfg.temp_moves, sampled, greedy)
-
-        legal = jax.vmap(game.legal_mask)(positions)
-        ok = jnp.take_along_axis(legal, action[:, None], axis=-1)[:, 0]
+        tree, root_enc, player_t, pol, ok, positions, f, r = _decide_moves(
+            game, net_apply, params, positions, tree, ep_move, k_move, cfg,
+        )
         illegal = illegal + (~ok).sum()
-
-        positions = jax.vmap(game.play)(positions, action)
-        f, r = jax.vmap(game.is_over)(positions)
 
         # terminated lanes: record the episode, then recycle.
         final_feat = jax.vmap(game.final_feature)(positions)  # [G, fsize] i8

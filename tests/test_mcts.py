@@ -196,6 +196,29 @@ def test_search_matches_scalar_twin(name, oracle_cls, training, rng):
         )
 
 
+def test_single_rollout_returns_root_prior():
+    """With rollouts == 1 the root is expanded during the only rollout; the
+    returned policy must be the freshly written (noise-mixed) root prior,
+    like the reference's prior->policy copy (mcts_gpu.jl:297-299) - not the
+    zero init (regression)."""
+    game = make_game("tictactoe")
+    G = 4
+    positions = jax.tree.map(
+        lambda *l: jnp.stack(l), *[game.initial() for _ in range(G)]
+    )
+    tree0 = init_tree(game, positions, 1)
+    net = uniform_net(game.max_actions)
+
+    tree, root_pi = jax.jit(
+        lambda t: run_mcts(game, net, None, t, jax.random.key(0),
+                           rollouts=1, cpuct=1.5, training=True)
+    )(tree0)
+    root_pi = np.asarray(root_pi)
+    np.testing.assert_allclose(root_pi.sum(0), np.ones(G), rtol=1e-5)
+    # uniform net + training root mix: 0.75/9 + 0.25/9 = uniform over legal
+    np.testing.assert_allclose(root_pi, np.full((9, G), 1.0 / 9), rtol=1e-5)
+
+
 def test_visit_conservation_with_real_net(rng):
     """With a real random net: total root child visits == rollouts - 1
     (every rollout after the root expansion passes through the root)."""
