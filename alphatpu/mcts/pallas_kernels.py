@@ -9,17 +9,25 @@ Two kernels cover the whole per-rollout tree work:
   current node, so no policy cache exists at all (see search.py for the
   exact-equivalence argument).  The jnp pipeline streams the [A, V, G]
   stats from HBM once per depth step; here the whole walk costs one HBM
-  read of the stats per rollout, and the per-depth Newton solves run on
-  [1, Gb] rows that never leave vector registers.
+  read of the stats per rollout.
 * **backup** applies every recorded path edge's (value-sum, visits)
   multiply-add with the stat blocks VMEM-resident (backUp,
   mcts_gpu.jl:306-328) - one HBM read + write per rollout regardless of
   path length.
 
+The Newton solve and the CDF sampling walk are vectorized over the action
+axis ([A, Gb] tiles; prefix sums via sublane rolls), and backup's edge
+update is one 3D masked multiply-add - so the math's op-issue count is
+independent of board width (A up to 169 for 13x13 Gobang/Hex).  Only the
+per-node row gathers loop over actions: streaming A masked reductions from
+the VMEM-resident refs measured faster than one 3D middle-axis reduction,
+which materializes an [A, V, Gb] temporary.
+
 Numerics are identical to the jnp reference in
 :mod:`alphatpu.mcts.search` / :mod:`alphatpu.mcts.newton`: same alpha init
 with the 1e-4 gap floor (mcts_gpu.jl:136), same latched convergence rule
-(err < 1e-3 or repeated err), same iteration cap, same CDF sampling walk.
+(err < 1e-3 or repeated err), same iteration cap, same CDF sampling walk
+(inclusive prefix reach + last-positive fallback).
 """
 from __future__ import annotations
 
@@ -43,16 +51,21 @@ def games_block(num_actions: int) -> int:
 
 
 def _narrow(num_actions: int) -> bool:
-    """Narrow action spaces keep per-action [V, Gb] values live in vector
-    registers / scoped stack; wide boards (A up to 169) must stream from the
-    VMEM-resident refs instead or they blow the scoped-vmem budget."""
+    """Narrow action spaces keep gathered per-action rows live in vector
+    registers (concatenated to one [A, Gb] tile); wide boards stream rows
+    into VMEM scratch instead - A x [V, Gb] of live registers would blow
+    the scoped-vmem budget."""
     return num_actions <= 16
 
 
-def _compiler_params(num_actions: int):
-    # Only wide boards need the raised scoped-vmem ceiling; the default
-    # 16 MB budget compiles measurably better schedules for narrow games.
-    if _narrow(num_actions):
+def _compiler_params(num_actions: int, num_nodes: int):
+    # Only big stat blocks need a raised scoped-vmem ceiling; the default
+    # 16 MB budget compiles measurably better schedules when it fits.  The
+    # kernels keep ~3 block-sized values live (carries + the 3D edge mask)
+    # plus in/out buffers, so gate well below the 16 MB default.
+    gb = games_block(num_actions)
+    block_bytes = num_actions * num_nodes * gb * 4
+    if 12 * block_bytes < 8 * 1024 * 1024:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
@@ -78,32 +91,24 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _node_policy_rows(p_a, w_a, v_a, *, cpuct, num_actions):
-    """Regularized policy for one gathered node row per lane.  All inputs
-    are length-A lists of [1, Gb] tiles; returns the same.  Matches
-    newton.regularized_policy + the fresh-node prior shortcut
-    (search.node_policy) bit for bit: same alpha init, same latched
+def _node_policy_2d(P, Q, Vv, *, cpuct):
+    """Regularized policy for gathered node rows: P/Q/Vv are [A, Gb] (one
+    row per lane).  Matches newton.regularized_policy + the fresh-node
+    prior shortcut (search.node_policy): same alpha init, same latched
     convergence, same iteration cap."""
-    A = num_actions
-    q_a = [jnp.where(v > 0, w / v, 0.0) for w, v in zip(w_a, v_a)]
-    nvis = sum(v_a)
+    nvis = jnp.sum(Vv, axis=0, keepdims=True)  # [1, Gb]
     n = 1.0 + nvis
-    acts = sum((p > 0).astype(jnp.float32) for p in p_a)
-    lam = cpuct * jnp.sqrt(n) / (acts + n)
-    top_a = [lam * p for p in p_a]
-    alpha = q_a[0] + jnp.maximum(top_a[0], ALPHA_FLOOR)
-    for a in range(1, A):
-        alpha = jnp.maximum(alpha, q_a[a] + jnp.maximum(top_a[a], ALPHA_FLOOR))
+    acts = jnp.sum((P > 0).astype(jnp.float32), axis=0, keepdims=True)
+    lam = cpuct * jnp.sqrt(n) / (acts + n)  # [1, Gb]
+    TOP = lam * P  # [A, Gb]
+    alpha = jnp.max(Q + jnp.maximum(TOP, ALPHA_FLOOR), axis=0, keepdims=True)
 
     def nstep(st):
         alpha, prev_err, conv = st
-        s = jnp.zeros_like(alpha)
-        grad = jnp.zeros_like(alpha)
-        for a in range(A):
-            bot = alpha - q_a[a]
-            frac = top_a[a] / bot
-            s = s + frac
-            grad = grad - frac / bot
+        bot = alpha - Q  # [A, Gb]
+        frac = TOP / bot
+        s = jnp.sum(frac, axis=0, keepdims=True)
+        grad = -jnp.sum(frac / bot, axis=0, keepdims=True)
         err = s - 1.0
         now_conv = (err < NEWTON_TOL) | (err == prev_err)
         conv = jnp.maximum(conv, now_conv.astype(jnp.float32))
@@ -127,30 +132,39 @@ def _node_policy_rows(p_a, w_a, v_a, *, cpuct, num_actions):
     # fresh lanes skip the solve entirely (start converged)
     ninit = (alpha, jnp.full_like(alpha, jnp.inf), fresh)
     (alpha, _, _), _ = jax.lax.while_loop(ncond, nbody, (ninit, jnp.int32(0)))
-    out = []
-    for a in range(A):
-        pi = top_a[a] / (alpha - q_a[a])
-        out.append(jnp.where(fresh > 0.5, p_a[a], pi))
-    return out
+    PI = TOP / (alpha - Q)
+    return jnp.where(fresh > 0.5, P, PI)
+
+
+def _cdf_sample_2d(PI, prob, aio, num_actions):
+    """newton.cdf_sample on [A, Gb] rows: first action whose inclusive
+    prefix sum reaches ``prob`` (and has positive mass), else the last
+    positive action, else 0.  Prefix sums are a Hillis-Steele scan over
+    sublane rolls."""
+    A = num_actions
+    c = PI
+    k = 1
+    while k < A:
+        c = c + jnp.where(aio >= k, pltpu.roll(c, k, 0), 0.0)
+        k *= 2
+    reach = (c >= prob) & (PI > 0)
+    first = jnp.min(jnp.where(reach, aio, A), axis=0, keepdims=True)
+    last_pos = jnp.max(jnp.where(PI > 0, aio, -1), axis=0, keepdims=True)
+    last_pos = jnp.maximum(last_pos, 0)
+    return jnp.where(first < A, first, last_pos)  # [1, Gb] i32
 
 
 def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
                    probs_ref,
                    nodes_out, actions_out, leaf_out, laction_out, alloc_out,
-                   rootpi_out, *, cpuct, num_actions, max_depth):
+                   rootpi_out, p_scr, w_scr, v_scr, c_scr,
+                   *, cpuct, num_actions, max_depth):
     A = num_actions
     V = prior_ref.shape[1]
     Gb = prior_ref.shape[2]
-    expanded = expanded_ref[:] != 0  # [V, Gb]
-    if _narrow(A):  # registers for narrow games, ref streams for wide ones
-        prior_s = [prior_ref[a] for a in range(A)]
-        wsum_s = [wsum_ref[a] for a in range(A)]
-        visits_s = [visits_ref[a] for a in range(A)]
-        child_s = [child_ref[a] for a in range(A)]
-    else:
-        prior_s, wsum_s, visits_s, child_s = (
-            prior_ref, wsum_ref, visits_ref, child_ref)
+    expanded = (expanded_ref[:] != 0).astype(jnp.float32)  # [V, Gb]
     vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
+    aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
     nodes_out[:] = jnp.full((max_depth, Gb), -1, jnp.int32)
     actions_out[:] = jnp.zeros((max_depth, Gb), jnp.int32)
 
@@ -158,54 +172,69 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
         d, node, found, leaf_action, needs_alloc = st
         return jnp.logical_and(d < max_depth, jnp.min(found) < 0.5)
 
+    if _narrow(A):
+        # keep per-action slices live in registers (fast at tiny A)
+        prior_s = [prior_ref[a] for a in range(A)]
+        wsum_s = [wsum_ref[a] for a in range(A)]
+        visits_s = [visits_ref[a] for a in range(A)]
+        child_s = [child_ref[a] for a in range(A)]
+
+    def gather_rows(oh):
+        """Stat rows of each lane's node: ([A,Gb] prior, q, visits, child)."""
+        if _narrow(A):
+            P = jnp.concatenate(
+                [jnp.sum(prior_s[a] * oh, axis=0, keepdims=True)
+                 for a in range(A)], axis=0)
+            W = jnp.concatenate(
+                [jnp.sum(wsum_s[a] * oh, axis=0, keepdims=True)
+                 for a in range(A)], axis=0)
+            Vv = jnp.concatenate(
+                [jnp.sum(visits_s[a] * oh, axis=0, keepdims=True)
+                 for a in range(A)], axis=0)
+            CR = jnp.concatenate(
+                [jnp.sum(child_s[a].astype(jnp.float32) * oh, axis=0,
+                         keepdims=True) for a in range(A)], axis=0)
+        else:
+            # per-action reductions streamed from the refs (a single 3D
+            # middle-axis reduce materializes an [A, V, Gb] temporary and
+            # measured slower); rows land in VMEM scratch so the Newton
+            # solve and sampling below run as [A, Gb] tiles.
+            for a in range(A):
+                p_scr[pl.ds(a, 1), :] = jnp.sum(prior_ref[a] * oh, axis=0,
+                                                keepdims=True)
+                w_scr[pl.ds(a, 1), :] = jnp.sum(wsum_ref[a] * oh, axis=0,
+                                                keepdims=True)
+                v_scr[pl.ds(a, 1), :] = jnp.sum(visits_ref[a] * oh, axis=0,
+                                                keepdims=True)
+                c_scr[pl.ds(a, 1), :] = jnp.sum(
+                    child_ref[a].astype(jnp.float32) * oh, axis=0,
+                    keepdims=True)
+            P, W, Vv, CR = p_scr[:], w_scr[:], v_scr[:], c_scr[:]
+        return P, W, Vv, CR
+
     def body(st):
         d, node, found, leaf_action, needs_alloc = st
         oh = (vio == node).astype(jnp.float32)  # [V, Gb]
-        exp = jnp.sum(expanded.astype(jnp.float32) * oh, axis=0,
-                      keepdims=True)  # [1, Gb] in {0,1}
+        exp = jnp.sum(expanded * oh, axis=0, keepdims=True)  # [1, Gb] {0,1}
         live = (1.0 - found) * exp
-        # gather the stat rows at each game's node, solve for its policy
-        p_a = [jnp.sum(prior_s[a] * oh, axis=0, keepdims=True)
-               for a in range(A)]
-        w_a = [jnp.sum(wsum_s[a] * oh, axis=0, keepdims=True)
-               for a in range(A)]
-        v_a = [jnp.sum(visits_s[a] * oh, axis=0, keepdims=True)
-               for a in range(A)]
-        pi_a = _node_policy_rows(p_a, w_a, v_a, cpuct=cpuct,
-                                 num_actions=A)
+        P, W, Vv, CR = gather_rows(oh)
+        Q = jnp.where(Vv > 0, W / jnp.maximum(Vv, 1.0), 0.0)
+
+        PI = _node_policy_2d(P, Q, Vv, cpuct=cpuct)
 
         @pl.when(d == 0)
         def _():
-            for a in range(A):
-                rootpi_out[pl.ds(a, 1), :] = pi_a[a]
+            rootpi_out[:] = PI
 
-        # CDF sample (newton.cdf_sample semantics)
         prob = probs_ref[pl.ds(d, 1), :]
-        csum = jnp.zeros_like(prob)
-        reach_a = []
-        for a in range(A):
-            csum = csum + pi_a[a]
-            reach_a.append((csum >= prob) & (pi_a[a] > 0))
-        first = jnp.zeros_like(prob, dtype=jnp.int32)
-        for a in range(A - 1, -1, -1):
-            first = jnp.where(reach_a[a], a, first)
-        any_reach = jnp.zeros_like(prob)
-        for a in range(A):
-            any_reach = jnp.maximum(any_reach, reach_a[a].astype(jnp.float32))
-        last_pos = jnp.zeros_like(prob, dtype=jnp.int32)
-        for a in range(A):
-            last_pos = jnp.where(pi_a[a] > 0, a, last_pos)
-        action = jnp.where(any_reach > 0.5, first, last_pos)  # [1, Gb]
+        action = _cdf_sample_2d(PI, prob, aio, A)
 
         nodes_out[pl.ds(d, 1), :] = jnp.where(live > 0.5, node, -1)
         actions_out[pl.ds(d, 1), :] = action
 
-        cid = jnp.zeros_like(prob)
-        for a in range(A):
-            ca = jnp.sum(child_s[a].astype(jnp.float32) * oh, axis=0,
-                         keepdims=True)
-            cid = cid + ca * (action == a).astype(jnp.float32)
-        cid = cid.astype(jnp.int32)
+        cid = jnp.sum(
+            jnp.where(aio == action, CR, 0.0), axis=0, keepdims=True
+        ).astype(jnp.int32)
         hit_missing = live * (cid == 0).astype(jnp.float32)
         leaf_action = jnp.where(hit_missing > 0.5, action, leaf_action)
         needs_alloc = jnp.maximum(needs_alloc, hit_missing)
@@ -265,7 +294,8 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float):
         in_specs=[stat_spec, stat_spec, stat_spec, stat_spec, vg_spec,
                   dg_spec],
         out_specs=(dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
-        compiler_params=_compiler_params(A),
+        scratch_shapes=[pltpu.VMEM((A, Gb), jnp.float32)] * 4,
+        compiler_params=_compiler_params(A, V),
     )(prior, wsum, visits, child, expanded.astype(jnp.int8), probs)
     return nodes, actions, node[0], laction[0], alloc[0] != 0, rootpi
 
@@ -281,66 +311,38 @@ def _backup_kernel(nodes_ref, actions_ref, length_ref, value_ref,
     with the stat blocks VMEM-resident: the jnp while_loop version streams
     the full [A, V, G] arrays from HBM once per *depth step* - here the
     whole walk costs one HBM read + one write per block regardless of path
-    length."""
+    length.  The edge mask is one 3D outer product of the node and action
+    one-hots per depth."""
     A = num_actions
     V = wsum_in.shape[1]
     length = length_ref[:]  # [1, Gb] i32
     value = value_ref[:]  # [1, Gb] f32
-    vio = jax.lax.broadcasted_iota(jnp.int32, (V, length.shape[1]), 0)
+    Gb = length.shape[1]
+    vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
+    aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
 
     max_len = jnp.max(length)
 
-    def edge_update(d, get_w, get_v):
+    def cond(st):
+        return st[0] < max_len
+
+    def body(st):
+        d, W, N = st
         nodes = nodes_ref[pl.ds(d, 1), :]  # [1, Gb]
         actions = actions_ref[pl.ds(d, 1), :]
         valid = nodes >= 0
         k = length - 1 - d
         contrib = jnp.where(k % 2 == 0, 1.0 - value, value)  # [1, Gb]
-        oh = (vio == nodes) & valid  # [V, Gb]
-        out_w, out_v = [], []
-        for a in range(A):
-            hit = (oh & (actions == a)).astype(jnp.float32)
-            out_w.append(get_w(a) + hit * contrib)
-            out_v.append(get_v(a) + hit)
-        return out_w, out_v
+        vm = ((vio == nodes) & valid).astype(jnp.float32)  # [V, Gb]
+        am = (aio == actions).astype(jnp.float32)  # [A, Gb]
+        hit = am[:, None, :] * vm[None, :, :]  # [A, V, Gb]
+        return d + 1, W + hit * contrib, N + hit
 
-    if _narrow(A):
-        # carry the whole stat block through the loop in registers/stack
-        def cond(st):
-            return st[0] < max_len
-
-        def body(st):
-            d, w_a, vis_a = st
-            w_a, vis_a = edge_update(d, lambda a: w_a[a], lambda a: vis_a[a])
-            return d + 1, w_a, vis_a
-
-        _, w_a, vis_a = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), [wsum_in[a] for a in range(A)],
-             [visits_in[a] for a in range(A)]),
-        )
-        for a in range(A):
-            wsum_out[a] = w_a[a]
-            visits_out[a] = vis_a[a]
-    else:
-        # wide boards: update the output refs in place (carrying A x [V, Gb]
-        # values would blow the scoped-vmem budget at A up to 169)
-        for a in range(A):
-            wsum_out[a] = wsum_in[a]
-            visits_out[a] = visits_in[a]
-
-        def cond2(d):
-            return d < max_len
-
-        def body2(d):
-            w_a, vis_a = edge_update(
-                d, lambda a: wsum_out[a], lambda a: visits_out[a])
-            for a in range(A):
-                wsum_out[a] = w_a[a]
-                visits_out[a] = vis_a[a]
-            return d + 1
-
-        jax.lax.while_loop(cond2, body2, jnp.int32(0))
+    _, W, N = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), wsum_in[:], visits_in[:])
+    )
+    wsum_out[:] = W
+    visits_out[:] = N
 
 
 @jax.jit
@@ -377,7 +379,7 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
                   stat_spec, stat_spec],
         out_specs=(stat_spec, stat_spec),
         input_output_aliases={4: 0, 5: 1},
-        compiler_params=_compiler_params(A),
+        compiler_params=_compiler_params(A, V),
     )(
         path_nodes, path_actions, path_length[None, :],
         leaf_value[None, :], wsum, visits,
