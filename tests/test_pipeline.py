@@ -105,6 +105,24 @@ def test_interactive_engine_plays_legally():
         pos = jax.jit(game.play)(pos, a)
 
 
+def test_eval_vs_random_counts():
+    """vs-random evaluation plays the full game count and an MCTS-backed
+    net (even with random weights) is not crushed by uniform random."""
+    import jax
+
+    from alphatpu.eval import EvalConfig, eval_vs_random
+    from alphatpu.nets import apply_inference, config_for_game, init_params
+
+    game = make_game("tictactoe")
+    params = init_params(jax.random.key(0), config_for_game(game, width=32,
+                                                            depth=2))
+    cfg = EvalConfig(num_games=32, rollouts=16)
+    w, d, l = eval_vs_random(game, apply_inference, params, jax.random.key(1),
+                             cfg)
+    assert w + d + l == 32
+    assert w >= l  # 16-rollout search should not lose to random overall
+
+
 def test_board_svg_all_games():
     """SVG renderer emits well-formed markup with the right stone counts."""
     import jax
