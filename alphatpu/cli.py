@@ -28,8 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tictactoe | connect4 | gobang<N> | hex<N> | "
                         "reversi6x6 | reversi8x8")
     # --- the reference's six flags (README.md:25-44) ---
-    p.add_argument("--samples", type=int, default=32 * 1024,
-                   help="selfplay games per generation")
+    p.add_argument("--samples", type=int, default=None,
+                   help="selfplay games per generation (default: the "
+                        "per-game reference default - 16384 for reversi8x8, "
+                        "mainReversi8x8.jl:94, else 32768)")
     p.add_argument("--rollout", type=int, default=64,
                    help="MCTS rollouts per move")
     p.add_argument("--generation", type=int, default=100,
@@ -63,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16-inference", action="store_true",
                    help="evaluate the in-search net in bfloat16 (MXU-native;"
                         " training stays f32)")
+    p.add_argument("--fresh-root-policy", action="store_true",
+                   help="recompute the root policy after the final backup "
+                        "instead of returning the last pre-backup policy "
+                        "(the reference discards the final backup's "
+                        "information, mcts_gpu.jl:330-339)")
     p.add_argument("--temp-moves", type=int, default=25)
     p.add_argument("--duel-temp-moves", type=int, default=15)
     p.add_argument("--seed", type=int, default=0)
@@ -86,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def default_samples(game_name: str) -> int:
+    """The reference's per-game --samples default: 16384 for Reversi 8x8
+    (mainReversi8x8.jl:94), 32768 everywhere else (main4IARow.jl:93)."""
+    return 16384 if game_name == "reversi8x8" else 32768
+
+
 def make_pipeline_config(args, game):
     from functools import partial
 
@@ -101,14 +114,16 @@ def make_pipeline_config(args, game):
         partial(apply_inference, compute_dtype=jnp.bfloat16)
         if args.bf16_inference else apply_inference
     )
+    samples = args.samples or default_samples(args.game)
     return PipelineConfig(
         selfplay=SelfplayConfig(
-            num_games=args.samples,
+            num_games=samples,
             rollouts=args.rollout,
             cpuct=args.cpuct,
             temp_moves=args.temp_moves,
             continuous=args.continuous,
             rounds=args.rounds,
+            fresh_root_policy=args.fresh_root_policy,
         ),
         train=TrainConfig(
             batch_size=args.batchsize,

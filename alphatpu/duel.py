@@ -34,8 +34,11 @@ class DuelConfig(NamedTuple):
 def duel_half(game, net_apply, params_first, params_second, rng,
               cfg: DuelConfig):
     """All games with ``params_first`` moving first.  Returns
-    (wins_first, draws, wins_second) as device scalars; the rare game not
-    finished within the move bound counts as a draw."""
+    (wins_first, draws, wins_second, unfinished) as device scalars.  The
+    reference loops until every game terminates; this scan is bounded by
+    the move cap, and a game still running there (possible only for
+    Reversi pass-chains) is counted in ``unfinished`` - excluded from the
+    result tally rather than silently called a draw."""
     G = cfg.num_games
     T = cfg.max_moves or game.max_game_length
     positions0 = broadcast_initial(game, G)
@@ -85,8 +88,9 @@ def duel_half(game, net_apply, params_first, params_second, rng,
     )
     wins_first = ((result == 1) & done).sum()
     wins_second = ((result == -1) & done).sum()
-    draws = cfg.num_games - wins_first - wins_second
-    return wins_first, draws, wins_second
+    draws = ((result == 0) & done).sum()
+    unfinished = (~done).sum()
+    return wins_first, draws, wins_second, unfinished
 
 
 _duel_half_jit = jax.jit(duel_half, static_argnums=(0, 1, 5))
@@ -94,15 +98,21 @@ _duel_half_jit = jax.jit(duel_half, static_argnums=(0, 1, 5))
 
 def duel_network(game, net_apply, params_a, params_b, rng, cfg: DuelConfig):
     """Reference `duelnetwork` (mcts_gpu.jl:653-668): half the games with
-    each network starting.  Returns host ints (wins_a, draws, wins_b)."""
+    each network starting.  Returns host ints
+    (wins_a, draws, wins_b, unfinished)."""
     half = cfg._replace(num_games=cfg.num_games // 2)
     k1, k2 = jax.random.split(rng)
-    va1, n1, vb1 = _duel_half_jit(game, net_apply, params_a, params_b, k1, half)
-    vb2, n2, va2 = _duel_half_jit(game, net_apply, params_b, params_a, k2, half)
+    va1, n1, vb1, u1 = _duel_half_jit(
+        game, net_apply, params_a, params_b, k1, half
+    )
+    vb2, n2, va2, u2 = _duel_half_jit(
+        game, net_apply, params_b, params_a, k2, half
+    )
     return (
         int(va1) + int(va2),
         int(n1) + int(n2),
         int(vb1) + int(vb2),
+        int(u1) + int(u2),
     )
 
 

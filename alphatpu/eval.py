@@ -27,7 +27,6 @@ class EvalConfig(NamedTuple):
     num_games: int = 256
     rollouts: int = 64
     cpuct: float = 1.5
-    temp_moves: int = 0  # candidate plays greedily from ply 0 by default
     max_moves: int | None = None
 
 
@@ -35,14 +34,16 @@ class EvalConfig(NamedTuple):
 def _vs_random_half(game, net_apply, params, rng, positions0, cfg: EvalConfig,
                     net_first: bool):
     """All games with the net moving first (or second).  Returns
-    (net_wins, draws, net_losses)."""
+    (net_wins, draws, net_losses, unfinished); the net plays greedily
+    (diversity comes from the random opponent's stream)."""
     G = cfg.num_games
     T = cfg.max_moves or game.max_game_length
     tree0 = init_tree(game, positions0, cfg.rollouts)
 
     def move_body(carry, t):
         positions, done, result, tree, rng = carry
-        rng, k_mcts, k_samp = jax.random.split(rng, 3)
+        # independent streams for the search and the random mover
+        rng, k_mcts, k_rnd = jax.random.split(rng, 3)
         net_turn = (t % 2 == 0) == net_first
         alive = ~done
 
@@ -53,13 +54,10 @@ def _vs_random_half(game, net_apply, params, rng, positions0, cfg: EvalConfig,
         )
         from .mcts.newton import cdf_sample
 
-        u = jax.random.uniform(k_samp, (G,)) * pol.sum(0)
-        sampled = cdf_sample(pol, u)
-        greedy = jnp.argmax(pol, axis=0).astype(jnp.int32)
-        net_action = jnp.where(t < cfg.temp_moves, sampled, greedy)
+        net_action = jnp.argmax(pol, axis=0).astype(jnp.int32)
 
         legal = jax.vmap(game.legal_mask)(positions)  # [G, A]
-        rnd = jax.random.uniform(k_samp, (G,)) * legal.sum(-1)
+        rnd = jax.random.uniform(k_rnd, (G,)) * legal.sum(-1)
         rnd_action = cdf_sample(legal.T.astype(jnp.float32), rnd)
 
         action = jnp.where(net_turn, net_action, rnd_action)
@@ -82,20 +80,22 @@ def _vs_random_half(game, net_apply, params, rng, positions0, cfg: EvalConfig,
     net_sign = jnp.int8(1 if net_first else -1)
     wins = ((result == net_sign) & done).sum()
     losses = ((result == -net_sign) & done).sum()
-    return wins, cfg.num_games - wins - losses, losses
+    draws = ((result == 0) & done).sum()
+    return wins, draws, losses, (~done).sum()
 
 
 def eval_vs_random(game, net_apply, params, rng, cfg: EvalConfig = EvalConfig()):
     """(wins, draws, losses) for the net over ``num_games`` games vs a
-    uniform-random legal mover, half starting each."""
+    uniform-random legal mover, half starting each.  The rare game not
+    finished at the move bound counts as a draw (explicitly tallied)."""
     half = cfg._replace(num_games=cfg.num_games // 2)
     positions0 = broadcast_initial(game, half.num_games)
     k1, k2 = jax.random.split(rng)
-    w1, d1, l1 = _vs_random_half(game, net_apply, params, k1, positions0,
-                                 half, True)
-    w2, d2, l2 = _vs_random_half(game, net_apply, params, k2, positions0,
-                                 half, False)
-    return int(w1 + w2), int(d1 + d2), int(l1 + l2)
+    w1, d1, l1, u1 = _vs_random_half(game, net_apply, params, k1, positions0,
+                                     half, True)
+    w2, d2, l2, u2 = _vs_random_half(game, net_apply, params, k2, positions0,
+                                     half, False)
+    return int(w1 + w2), int(d1 + d2 + u1 + u2), int(l1 + l2)
 
 
 def ladder(game, net_apply, checkpoints, rng, cfg: DuelConfig = DuelConfig()):
@@ -105,6 +105,6 @@ def ladder(game, net_apply, checkpoints, rng, cfg: DuelConfig = DuelConfig()):
     for i, (na, pa) in enumerate(checkpoints):
         for nb, pb in checkpoints[i + 1:]:
             rng, k = jax.random.split(rng)
-            w, d, l = duel_network(game, net_apply, pa, pb, k, cfg)
+            w, d, l, _ = duel_network(game, net_apply, pa, pb, k, cfg)
             out.append((na, nb, w, d, l))
     return out

@@ -23,11 +23,16 @@ per-node row gathers loop over actions: streaming A masked reductions from
 the VMEM-resident refs measured faster than one 3D middle-axis reduction,
 which materializes an [A, V, Gb] temporary.
 
-Numerics are identical to the jnp reference in
-:mod:`alphatpu.mcts.search` / :mod:`alphatpu.mcts.newton`: same alpha init
-with the 1e-4 gap floor (mcts_gpu.jl:136), same latched convergence rule
-(err < 1e-3 or repeated err), same iteration cap, same CDF sampling walk
-(inclusive prefix reach + last-positive fallback).
+Numerics vs the jnp reference in :mod:`alphatpu.mcts.search` /
+:mod:`alphatpu.mcts.newton`: the Newton solve is bit-identical (same alpha
+init with the 1e-4 gap floor, mcts_gpu.jl:136; same latched convergence
+rule - err < 1e-3 or repeated err; same iteration cap).  The CDF sampling
+walk follows the same rule (inclusive prefix reach + last-positive
+fallback) but builds the prefix sum with a Hillis-Steele roll scan whose
+float accumulation order differs from ``jnp.cumsum`` - so kernel and
+fallback can *rarely* pick different actions when the drawn uniform lands
+exactly on a prefix-sum boundary (bit-approximate, not bit-exact;
+benchmarks/kernel_parity.py tolerates the occasional action divergence).
 """
 from __future__ import annotations
 
@@ -73,16 +78,23 @@ def _compiler_params(num_actions: int, num_nodes: int):
 def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
     """The kernel path needs a TPU backend (the axon tunnel platform is a
     TPU), tile-aligned dims (G on the 128 lanes, V on the 8 sublanes) and
-    stat blocks that fit VMEM."""
+    stat blocks that fit VMEM.
+
+    The VMEM gate must *provably* cover the kernels' live blocks, because a
+    near-limit shape fails Mosaic compilation outright instead of falling
+    back.  Worst case is backup: 2 double-buffered stat inputs + 2 aliased
+    outputs (4 blocks) plus the 2 full-block while_loop carries = 6 blocks;
+    select holds 4 double-buffered stat inputs = 8 blocks plus [A, Gb]-sized
+    scratch/rows.  12 blocks of headroom covers both with a 2-block margin
+    for Mosaic temporaries."""
     backend = jax.default_backend()
     gb = games_block(num_actions)
-    # 4 stat blocks, double-buffered in/out, f32 - stay under the limit
     block_bytes = num_actions * num_nodes * gb * 4
     return (
         backend in ("tpu", "axon")
         and num_games % gb == 0
         and num_nodes % 8 == 0
-        and 10 * block_bytes < _VMEM_LIMIT
+        and 12 * block_bytes < _VMEM_LIMIT
     )
 
 
@@ -257,10 +269,14 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
     alloc_out[:] = needs_alloc.astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("cpuct",))
-def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float):
+@functools.partial(jax.jit, static_argnames=("cpuct", "interpret"))
+def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float,
+                  interpret: bool = False):
     """(path_nodes, path_actions, node, leaf_action, needs_alloc, root_pi):
-    the per-rollout selection walk in one kernel.  probs: f32[D, G]."""
+    the per-rollout selection walk in one kernel.  probs: f32[D, G].
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (any
+    backend) - the CI parity path (tests/test_pallas.py)."""
     A, V, G = prior.shape
     D = probs.shape[0]
     Gb = games_block(A)
@@ -296,6 +312,7 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float):
         out_specs=(dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
         scratch_shapes=[pltpu.VMEM((A, Gb), jnp.float32)] * 4,
         compiler_params=_compiler_params(A, V),
+        interpret=interpret,
     )(prior, wsum, visits, child, expanded.astype(jnp.int8), probs)
     return nodes, actions, node[0], laction[0], alloc[0] != 0, rootpi
 
@@ -345,9 +362,9 @@ def _backup_kernel(nodes_ref, actions_ref, length_ref, value_ref,
     visits_out[:] = N
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
-                  leaf_value):
+                  leaf_value, interpret: bool = False):
     """(wsum', visits'): all path-edge updates in one VMEM pass.
 
     wsum/visits [A, V, G] f32; path_nodes/actions [D, G] i32 (node -1 =
@@ -380,6 +397,7 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
         out_specs=(stat_spec, stat_spec),
         input_output_aliases={4: 0, 5: 1},
         compiler_params=_compiler_params(A, V),
+        interpret=interpret,
     )(
         path_nodes, path_actions, path_length[None, :],
         leaf_value[None, :], wsum, visits,

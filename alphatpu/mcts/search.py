@@ -312,6 +312,7 @@ def run_mcts(
     cpuct: float,
     training: bool,
     probs=None,
+    final_root_policy: bool = False,
 ):
     """One full search over all games for the current move: ``rollouts`` x
     (select -> batched NN forward -> expand -> backup) as a lax.scan (the
@@ -319,10 +320,14 @@ def run_mcts(
     per-stage device syncs).
 
     ``probs``: optional f32[rollouts, D, G] uniform injection for tests.
-    Returns (tree, root_policy [A, G]).  The root policy is the one the
-    final rollout's selection used - computed from the stats after
+    Returns (tree, root_policy [A, G]).  By default the root policy is the
+    one the final rollout's selection used - computed from the stats after
     rollouts-1 backups, exactly like the reference's stored-policy extract
-    (`copy_pol`, mcts_gpu.jl:330-339, 443).
+    (`copy_pol`, mcts_gpu.jl:330-339, 443).  NB that convention discards the
+    information of the final backup; ``final_root_policy=True`` instead
+    recomputes the root's regularized policy from the post-search stats (a
+    free strength knob the reference's stored-policy protocol could not
+    afford - the root row is node 0, a static slice).
     """
     G = tree.num_games
     A = tree.num_actions
@@ -365,4 +370,9 @@ def run_mcts(
     (tree, root_pi), _ = jax.lax.scan(
         body, (tree, jnp.zeros((A, G), jnp.float32)), xs
     )
+    if final_root_policy:
+        root_pi = node_policy(
+            tree.prior[:, 0, :], tree.wsum[:, 0, :], tree.visits[:, 0, :],
+            cpuct,
+        )
     return tree, root_pi

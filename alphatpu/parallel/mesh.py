@@ -106,7 +106,8 @@ def sharded_train_fn(game, cfg: TrainConfig, optimizer, mesh: Mesh):
 
 
 def sharded_duel_fn(game, net_apply, cfg: DuelConfig, mesh: Mesh):
-    """Duel games shard over the mesh; returns summed (w, d, l) scalars."""
+    """Duel games shard over the mesh; returns summed (w, d, l, unfinished)
+    scalars."""
     D = mesh.devices.size
     assert cfg.num_games % D == 0
     local_cfg = cfg._replace(num_games=cfg.num_games // D)
@@ -116,17 +117,18 @@ def sharded_duel_fn(game, net_apply, cfg: DuelConfig, mesh: Mesh):
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS)),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     def run(params_first, params_second, keys):
-        w, d, l = duel_half(
+        w, d, l, u = duel_half(
             game, net_apply, params_first, params_second, keys[0], local_cfg
         )
         return (
             jax.lax.psum(w, AXIS),
             jax.lax.psum(d, AXIS),
             jax.lax.psum(l, AXIS),
+            jax.lax.psum(u, AXIS),
         )
 
     return run

@@ -112,7 +112,7 @@ def run_generation(game, state: PipelineState, cfg: PipelineConfig):
     log(f"[gen {gen}] train: {t_tr:.1f}s  loss={loss:.4f}")
 
     t0 = time.time()
-    w, d, l = duel_network(
+    w, d, l, du_unfinished = duel_network(
         game, cfg.net_apply, state.train_params, state.best_params, k_duel,
         cfg.duel,
     )
@@ -123,6 +123,9 @@ def run_generation(game, state: PipelineState, cfg: PipelineConfig):
         f"[gen {gen}] duel: {t_du:.1f}s  candidate w/d/l={w}/{d}/{l}  "
         f"elo {state.elo:.1f} -> {new_elo:.1f}  {'PROMOTED' if passed else 'kept'}"
     )
+    if du_unfinished:
+        log(f"[gen {gen}] note: {du_unfinished} duel games unfinished at the "
+            f"move bound (excluded from the tally)")
     if passed:
         state.elo = new_elo
         state.best_params = jax.tree.map(jnp.copy, state.train_params)
@@ -148,6 +151,7 @@ def run_generation(game, state: PipelineState, cfg: PipelineConfig):
         "duel_s": t_du,
         "loss": loss,
         "duel": (w, d, l),
+        "duel_unfinished": du_unfinished,
         "elo": state.elo,
         "promoted": passed,
         **{k: int(v) if hasattr(v, "item") else v for k, v in sp_stats.items()},

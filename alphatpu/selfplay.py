@@ -46,6 +46,10 @@ class SelfplayConfig(NamedTuple):
     # lane count; ``rounds`` the total move rounds played per lane.
     continuous: bool = False
     rounds: int | None = None  # defaults to 2 * game.max_game_length
+    # Recompute the root policy after the final backup instead of returning
+    # the last pre-backup policy (the reference's copy_pol quirk) - an
+    # opt-in strength knob, see run_mcts.
+    fresh_root_policy: bool = False
 
 
 def broadcast_initial(game, num_games: int):
@@ -74,6 +78,7 @@ def _decide_moves(game, net_apply, params, positions, tree, ep_move, rng,
     tree, pol = run_mcts(
         game, net_apply, params, tree, k_mcts,
         rollouts=cfg.rollouts, cpuct=cfg.cpuct, training=True,
+        final_root_policy=cfg.fresh_root_policy,
     )
 
     root_enc = jax.vmap(game.encode)(positions).astype(jnp.int8)

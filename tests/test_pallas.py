@@ -1,0 +1,103 @@
+"""Pallas kernel parity in CI: select_pallas / backup_pallas run under the
+Pallas interpreter on CPU against the jnp reference implementations on
+identical trees and uniform streams.
+
+This is the twin-engine cross-check pattern of the reference (fast_mcts.jl
+vs mcts_gpu.jl) applied to the kernel layer: a kernel numerics regression
+turns into a red pytest here instead of a broken TPU run discovered later.
+The on-chip counterpart (real Mosaic compilation, real tiles) is
+benchmarks/kernel_parity.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphatpu.games import make_game
+from alphatpu.mcts.pallas_kernels import backup_pallas, select_pallas
+from alphatpu.mcts.search import backup, descend, run_mcts
+from alphatpu.mcts.tree import init_tree
+from alphatpu.nets import apply_inference, config_for_game, init_params
+from alphatpu.selfplay import broadcast_initial
+
+CPUCT = 1.5
+
+
+def _grown_tree(game_name, G, rollouts, seed=0):
+    """A realistic mid-search tree: run the jnp engine for ``rollouts``."""
+    game = make_game(game_name)
+    params = init_params(
+        jax.random.key(seed), config_for_game(game, width=32, depth=2)
+    )
+    positions = broadcast_initial(game, G)
+    tree = init_tree(game, positions, rollouts)
+    tree, _ = run_mcts(
+        game, apply_inference, params, tree, jax.random.key(seed + 1),
+        rollouts=rollouts - 2,  # leave free slots so needs_alloc still fires
+        cpuct=CPUCT, training=True,
+    )
+    return game, tree
+
+
+# tictactoe (A=9) exercises the narrow register path; hex5 (A=25) the wide
+# VMEM-scratch path.  G must be a games_block multiple; V a multiple of 8.
+@pytest.mark.parametrize("game_name,G,V", [
+    ("tictactoe", 256, 16),
+    ("hex5", 128, 16),
+])
+def test_select_kernel_matches_jnp(game_name, G, V):
+    game, tree = _grown_tree(game_name, G, V)
+    D = min(game.max_game_length, tree.num_nodes)
+    probs = jax.random.uniform(jax.random.key(42), (D, G))
+
+    path, node, leaf_action, needs_alloc, root_pi = descend(
+        game, tree, probs, CPUCT
+    )
+    (k_nodes, k_actions, k_node, k_laction, k_alloc, k_rootpi) = select_pallas(
+        tree.prior, tree.wsum, tree.visits, tree.child, tree.expanded,
+        probs, CPUCT, interpret=True,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(k_rootpi), np.asarray(root_pi), rtol=1e-6, atol=1e-7
+    )
+    # action choices may diverge only at exact FP prefix-sum ties
+    # (Hillis-Steele vs cumsum accumulation order) - with random uniforms
+    # that event has ~zero probability, so exact equality is asserted.
+    np.testing.assert_array_equal(np.asarray(k_nodes), np.asarray(path.nodes))
+    np.testing.assert_array_equal(
+        np.asarray(k_actions * (k_nodes >= 0)),
+        np.asarray(path.actions * (path.nodes >= 0)),
+    )
+    np.testing.assert_array_equal(np.asarray(k_node), np.asarray(node))
+    np.testing.assert_array_equal(np.asarray(k_alloc), np.asarray(needs_alloc))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.where(needs_alloc, k_laction, 0)),
+        np.asarray(jnp.where(needs_alloc, leaf_action, 0)),
+    )
+
+
+@pytest.mark.parametrize("game_name,G,V", [
+    ("tictactoe", 256, 16),
+    ("hex5", 128, 16),
+])
+def test_backup_kernel_matches_jnp(game_name, G, V):
+    game, tree = _grown_tree(game_name, G, V)
+    D = min(game.max_game_length, tree.num_nodes)
+    probs = jax.random.uniform(jax.random.key(7), (D, G))
+    path, node, leaf_action, needs_alloc, _ = descend(game, tree, probs, CPUCT)
+
+    leaf_value = jax.random.uniform(jax.random.key(8), (G,))
+    done = jnp.zeros((G,), bool)
+    result = jnp.zeros((G,), jnp.int8)
+    player = jnp.ones((G,), jnp.int8)
+
+    ref = backup(tree, path, player, leaf_value, done, result)
+    k_wsum, k_visits = backup_pallas(
+        tree.wsum, tree.visits, path.nodes, path.actions, path.length,
+        leaf_value, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_wsum), np.asarray(ref.wsum), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(np.asarray(k_visits), np.asarray(ref.visits))

@@ -131,8 +131,8 @@ def test_sharded_duel(mesh):
     D = mesh.devices.size
     cfg = DuelConfig(num_games=2 * D, rollouts=8)
     run = sharded_duel_fn(game, biased, cfg, mesh)
-    w, d, l = run(
+    w, d, l, u = run(
         {"b": jnp.float32(2.0)}, {"b": jnp.float32(0.0)},
         device_keys(jax.random.key(0), mesh),
     )
-    assert int(w) + int(d) + int(l) == 2 * D
+    assert int(w) + int(d) + int(l) + int(u) == 2 * D

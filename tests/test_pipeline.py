@@ -76,10 +76,15 @@ def test_cli_parser_matches_reference_flags():
     assert args.samples == 1024 and args.rollout == 32
     assert args.generation == 5 and args.batchsize == 512
     assert args.cpuct == 2.0
-    # reference defaults (main4IARow.jl:88-116)
+    # reference defaults (main4IARow.jl:88-116); --samples resolves
+    # per game (16384 for reversi8x8, mainReversi8x8.jl:94)
+    from alphatpu.cli import default_samples
+
     d = p.parse_args([])
-    assert d.samples == 32768 and d.rollout == 64 and d.generation == 100
+    assert d.samples is None and d.rollout == 64 and d.generation == 100
     assert d.batchsize == 8192 and abs(d.cpuct - 1.5) < 1e-9
+    assert default_samples("connect4") == 32768
+    assert default_samples("reversi8x8") == 16384
 
 
 def test_interactive_engine_plays_legally():

@@ -101,6 +101,7 @@ def test_duel_stronger_net_wins():
     strong = {"bias": jnp.float32(2.0)}
     weak = {"bias": jnp.float32(0.0)}
     cfg = DuelConfig(num_games=16, rollouts=12)
-    w, d, l = duel_network(game, biased, strong, weak, jax.random.key(0), cfg)
-    assert w + d + l == 16
+    w, d, l, u = duel_network(game, biased, strong, weak, jax.random.key(0), cfg)
+    assert w + d + l + u == 16
+    assert u == 0  # connect4 always terminates within the move bound
     assert w > l, (w, d, l)
