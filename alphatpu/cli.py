@@ -80,9 +80,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="include the replay buffer in checkpoints")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --ckpt-dir")
-    p.add_argument("--devices", type=int, default=0,
-                   help="shard selfplay/training over this many devices "
-                        "(0 = all available, 1 = single-device path)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard selfplay lanes, replay buffer, learner and "
+                        "duels over this many devices (0 = all available, "
+                        "1 = single-device path)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before building "
+                        "the mesh: run one process per host under your "
+                        "launcher and pass --devices 0 to span the full "
+                        "slice (ICI/DCN collectives handled uniformly by "
+                        "GSPMD)")
     p.add_argument("--stats-file", default=None,
                    help="append per-generation stats as JSON lines")
     p.add_argument("--profile-dir", default=None,
@@ -147,6 +154,7 @@ def make_pipeline_config(args, game):
         ),
         save_buffer=args.save_buffer,
         net_apply=net_apply,
+        devices=args.devices,
     )
 
 
@@ -155,12 +163,17 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.multihost:
+        jax.distributed.initialize()
+
     from .games import make_game
     from .pipeline import init_pipeline, run_generation
 
     game = make_game(args.game)
     cfg = make_pipeline_config(args, game)
-    print(f"alphatpu: game={game.name} devices={jax.devices()}")
+    D = cfg.num_devices()
+    print(f"alphatpu: game={game.name} devices={jax.devices()}"
+          + (f"  (dp mesh over {D})" if D > 1 else ""))
     state = init_pipeline(game, cfg)
 
     if args.resume and cfg.ckpt_dir and os.path.exists(

@@ -3,6 +3,7 @@ from .mesh import (  # noqa: F401
     device_keys,
     make_mesh,
     sharded_duel_fn,
+    sharded_duel_network,
     sharded_selfplay_fn,
     sharded_train_fn,
 )

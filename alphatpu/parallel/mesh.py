@@ -31,6 +31,13 @@ AXIS = "dp"
 def make_mesh(num_devices: int | None = None) -> Mesh:
     devices = jax.devices()
     if num_devices:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"--devices {num_devices} requested but only {len(devices)} "
+                f"JAX device(s) visible ({devices}); for a CPU host mesh set "
+                f"jax_platforms=cpu and jax_num_cpu_devices before first "
+                f"device use, for multi-host pass --multihost"
+            )
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (AXIS,))
 
@@ -132,3 +139,24 @@ def sharded_duel_fn(game, net_apply, cfg: DuelConfig, mesh: Mesh):
         )
 
     return run
+
+
+def sharded_duel_network(game, net_apply, cfg: DuelConfig, mesh: Mesh):
+    """The full gating duel (`duelnetwork`, mcts_gpu.jl:653-668) with its
+    games sharded over the mesh: half the games with each starter.  Returns
+    a host fn ``(params_a, params_b, rng) -> (w, d, l, unfinished)``."""
+    half = cfg._replace(num_games=cfg.num_games // 2)
+    run = sharded_duel_fn(game, net_apply, half, mesh)
+
+    def duel(params_a, params_b, rng):
+        k1, k2 = jax.random.split(rng)
+        va1, n1, vb1, u1 = run(params_a, params_b, device_keys(k1, mesh))
+        vb2, n2, va2, u2 = run(params_b, params_a, device_keys(k2, mesh))
+        return (
+            int(va1) + int(va2),
+            int(n1) + int(n2),
+            int(vb1) + int(vb2),
+            int(u1) + int(u2),
+        )
+
+    return duel

@@ -8,18 +8,28 @@ kept:
 * the training network keeps training from itself across generations and
   replaces the best one only when the duel Elo improves (selfplay.jl:72-77),
 * duel: 32 rollouts, 1024 games, half with each starter (selfplay.jl:56).
+
+Multi-chip execution (``devices != 1`` - the reference is single-GPU,
+SURVEY.md section 2.2): the exact same generation protocol routes through
+:mod:`alphatpu.parallel` - selfplay lanes, the replay buffer and duel games
+shard over a 1-axis ``dp`` mesh with zero cross-chip traffic during search;
+the learner runs data-parallel with psum'd gradients; params stay
+replicated, so the per-generation weight "broadcast" is free.  Multi-host
+needs only ``jax.distributed.initialize()`` (the CLI's ``--multihost``)
+before the pipeline is built.
 """
 from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from . import checkpoint as ckpt
-from .buffer import buffer_size, create_buffer
+from .buffer import create_buffer, global_buffer_size
 from .duel import DuelConfig, duel_network, elo_update
 from .nets.mlp import apply_inference, config_for_game, init_params
 from .selfplay import SelfplayConfig, selfplay_continuous, selfplay_generation
@@ -45,7 +55,48 @@ class PipelineConfig:
     ckpt_dir: Optional[str] = None
     save_buffer: bool = False
     net_apply: Callable = apply_inference
+    devices: int = 1  # 0 = all available; 1 = single-device path
     log: Callable[[str], None] = print
+
+    def num_devices(self) -> int:
+        return self.devices if self.devices else len(jax.devices())
+
+
+@lru_cache(maxsize=None)
+def _sharded_exec(game, net_apply, sp_cfg: SelfplayConfig,
+                  tr_cfg: TrainConfig, duel_cfg: DuelConfig, optimizer,
+                  num_devices: int):
+    """Build (mesh, selfplay, train, duel) sharded executors once per
+    configuration - each wraps a cached jit, so generations reuse the
+    compiled programs."""
+    from .parallel import (
+        make_mesh,
+        sharded_duel_network,
+        sharded_selfplay_fn,
+        sharded_train_fn,
+    )
+
+    mesh = make_mesh(num_devices)
+    D = mesh.devices.size
+    if sp_cfg.num_games % D:
+        raise ValueError(
+            f"--samples ({sp_cfg.num_games}) must divide the device count {D}"
+        )
+    if tr_cfg.batch_size % D:
+        raise ValueError(
+            f"--batchsize ({tr_cfg.batch_size}) must divide the device count {D}"
+        )
+    if duel_cfg.num_games % (2 * D):
+        raise ValueError(
+            f"--duel-games ({duel_cfg.num_games}) must divide 2x the device "
+            f"count {D}"
+        )
+    return (
+        mesh,
+        sharded_selfplay_fn(game, net_apply, sp_cfg, mesh),
+        sharded_train_fn(game, tr_cfg, optimizer, mesh),
+        sharded_duel_network(game, net_apply, duel_cfg, mesh),
+    )
 
 
 @dataclass
@@ -70,7 +121,8 @@ def init_pipeline(game, cfg: PipelineConfig) -> PipelineState:
         best_params=params,
         train_params=jax.tree.map(jnp.copy, params),
         opt_state=optimizer.init(params),
-        buffer=create_buffer(game, cfg.buffer_capacity),
+        buffer=create_buffer(game, cfg.buffer_capacity,
+                             shards=cfg.num_devices()),
         rng=k_run,
     )
 
@@ -80,19 +132,35 @@ def run_generation(game, state: PipelineState, cfg: PipelineConfig):
     log = cfg.log
     gen = state.generation + 1
     state.rng, k_sp, k_tr, k_duel = jax.random.split(state.rng, 4)
+    optimizer = make_optimizer(cfg.train)
+    D = cfg.num_devices()
+    if D > 1:
+        mesh, sp_fn, tr_fn, duel_fn = _sharded_exec(
+            game, cfg.net_apply, cfg.selfplay, cfg.train, cfg.duel,
+            optimizer, D,
+        )
+        from .parallel import device_keys
 
     t0 = time.time()
-    selfplay = _selfplay_cont_jit if cfg.selfplay.continuous else _selfplay_jit
-    state.buffer, sp_stats = selfplay(
-        game, cfg.net_apply, state.best_params, state.buffer, k_sp, cfg.selfplay
-    )
+    if D > 1:
+        state.buffer, sp_stats = sp_fn(
+            state.best_params, state.buffer, device_keys(k_sp, mesh)
+        )
+    else:
+        selfplay = (
+            _selfplay_cont_jit if cfg.selfplay.continuous else _selfplay_jit
+        )
+        state.buffer, sp_stats = selfplay(
+            game, cfg.net_apply, state.best_params, state.buffer, k_sp,
+            cfg.selfplay,
+        )
     sp_stats = jax.device_get(sp_stats)
     t_sp = time.time() - t0
     log(
         f"[gen {gen}] selfplay: {t_sp:.1f}s  "
         f"w/d/l={int(sp_stats['wins'])}/{int(sp_stats['draws'])}/"
         f"{int(sp_stats['losses'])}  mean_len={float(sp_stats['mean_length']):.1f}  "
-        f"buffer={int(buffer_size(state.buffer))}"
+        f"buffer={int(global_buffer_size(state.buffer))}"
     )
     if int(sp_stats["illegal_moves"]):
         log(f"[gen {gen}] WARNING illegal moves: {int(sp_stats['illegal_moves'])}")
@@ -100,22 +168,32 @@ def run_generation(game, state: PipelineState, cfg: PipelineConfig):
         log(f"[gen {gen}] note: {int(sp_stats['unfinished'])} unfinished games")
 
     t0 = time.time()
-    optimizer = make_optimizer(cfg.train)
     loss = None
     for epoch in range(cfg.train.epochs):
-        state.train_params, state.opt_state, loss = _train_jit(
-            state.train_params, state.opt_state, state.buffer,
-            jax.random.fold_in(k_tr, epoch), cfg.train, optimizer,
-        )
+        k_ep = jax.random.fold_in(k_tr, epoch)
+        if D > 1:
+            state.train_params, state.opt_state, loss = tr_fn(
+                state.train_params, state.opt_state, state.buffer, k_ep
+            )
+        else:
+            state.train_params, state.opt_state, loss = _train_jit(
+                state.train_params, state.opt_state, state.buffer, k_ep,
+                cfg.train, optimizer,
+            )
     loss = float(loss)
     t_tr = time.time() - t0
     log(f"[gen {gen}] train: {t_tr:.1f}s  loss={loss:.4f}")
 
     t0 = time.time()
-    w, d, l, du_unfinished = duel_network(
-        game, cfg.net_apply, state.train_params, state.best_params, k_duel,
-        cfg.duel,
-    )
+    if D > 1:
+        w, d, l, du_unfinished = duel_fn(
+            state.train_params, state.best_params, k_duel
+        )
+    else:
+        w, d, l, du_unfinished = duel_network(
+            game, cfg.net_apply, state.train_params, state.best_params,
+            k_duel, cfg.duel,
+        )
     t_du = time.time() - t0
     new_elo = elo_update(w, d, l, state.elo)
     passed = new_elo > state.elo
