@@ -16,12 +16,15 @@ Two kernels cover the whole per-rollout tree work:
   path length.
 
 The Newton solve and the CDF sampling walk are vectorized over the action
-axis ([A, Gb] tiles; prefix sums via sublane rolls), and backup's edge
-update is one 3D masked multiply-add - so the math's op-issue count is
-independent of board width (A up to 169 for 13x13 Gobang/Hex).  Only the
-per-node row gathers loop over actions: streaming A masked reductions from
-the VMEM-resident refs measured faster than one 3D middle-axis reduction,
-which materializes an [A, V, Gb] temporary.
+axis ([A, Gb] tiles; prefix sums via sublane rolls), so the math's
+op-issue count is independent of board width (A up to 169 for 13x13
+Gobang/Hex).  The node-axis (V) work - select's per-node row gathers and
+backup's edge updates - is bounded per depth step to the 8-sublane chunks
+actually spanned by the lanes' node ids: ids are allocation-ordered and
+never exceed the rollout's allocation count, so early rollouts (and depth
+0, where every lane sits at the root) touch ONE chunk instead of all V/8.
+This is what keeps wide boards (large A, where each chunk costs A rows)
+off the O(A*V) cliff per depth step.
 
 Numerics vs the jnp reference in :mod:`alphatpu.mcts.search` /
 :mod:`alphatpu.mcts.newton`: the Newton solve is bit-identical (same alpha
@@ -174,8 +177,6 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
     A = num_actions
     V = prior_ref.shape[1]
     Gb = prior_ref.shape[2]
-    expanded = (expanded_ref[:] != 0).astype(jnp.float32)  # [V, Gb]
-    vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
     aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
     nodes_out[:] = jnp.full((max_depth, Gb), -1, jnp.int32)
     actions_out[:] = jnp.zeros((max_depth, Gb), jnp.int32)
@@ -186,14 +187,18 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
 
     if _narrow(A):
         # keep per-action slices live in registers (fast at tiny A)
+        vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
+        expanded = expanded_ref[:]  # [V, Gb] f32 {0,1}
         prior_s = [prior_ref[a] for a in range(A)]
         wsum_s = [wsum_ref[a] for a in range(A)]
         visits_s = [visits_ref[a] for a in range(A)]
         child_s = [child_ref[a] for a in range(A)]
 
-    def gather_rows(oh):
-        """Stat rows of each lane's node: ([A,Gb] prior, q, visits, child)."""
-        if _narrow(A):
+        def gather_rows(node, found):
+            """Stat rows of each lane's node: [1, Gb] expanded plus
+            ([A, Gb] prior, value-sum, visits, child)."""
+            oh = (vio == node).astype(jnp.float32)  # [V, Gb]
+            exp = jnp.sum(expanded * oh, axis=0, keepdims=True)
             P = jnp.concatenate(
                 [jnp.sum(prior_s[a] * oh, axis=0, keepdims=True)
                  for a in range(A)], axis=0)
@@ -206,30 +211,59 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
             CR = jnp.concatenate(
                 [jnp.sum(child_s[a].astype(jnp.float32) * oh, axis=0,
                          keepdims=True) for a in range(A)], axis=0)
-        else:
-            # per-action reductions streamed from the refs (a single 3D
-            # middle-axis reduce materializes an [A, V, Gb] temporary and
-            # measured slower); rows land in VMEM scratch so the Newton
-            # solve and sampling below run as [A, Gb] tiles.
-            for a in range(A):
-                p_scr[pl.ds(a, 1), :] = jnp.sum(prior_ref[a] * oh, axis=0,
-                                                keepdims=True)
-                w_scr[pl.ds(a, 1), :] = jnp.sum(wsum_ref[a] * oh, axis=0,
-                                                keepdims=True)
-                v_scr[pl.ds(a, 1), :] = jnp.sum(visits_ref[a] * oh, axis=0,
-                                                keepdims=True)
-                c_scr[pl.ds(a, 1), :] = jnp.sum(
-                    child_ref[a].astype(jnp.float32) * oh, axis=0,
-                    keepdims=True)
-            P, W, Vv, CR = p_scr[:], w_scr[:], v_scr[:], c_scr[:]
-        return P, W, Vv, CR
+            return exp, P, W, Vv, CR
+    else:
+        sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
+
+        def gather_rows(node, found):
+            """Wide boards gather whole [A, 8, Gb] stat slabs - one dynamic
+            3D slice per array per chunk, reduced over the sublane axis
+            against the node one-hot (vectorized over A; per-action row
+            streaming costs A slice ops per chunk and Mosaic handles the
+            slab slice fine - backup's RMW uses the same shape).  Only the
+            8-sublane chunks spanned by the still-walking lanes' node ids
+            are touched (ids are allocation-ordered, so the span grows with
+            tree occupancy; depth 0 - every lane at the root - is one
+            chunk).  Finished lanes are excluded from the bound and read
+            all-zero rows, which the policy/sampling math degrades to
+            harmlessly (prior 0 -> pi 0 -> action 0, never consumed)."""
+            walking = found < 0.5
+            lo = jnp.min(jnp.where(walking, node, V - 1))
+            hi = jnp.max(jnp.where(walking, node, 0))
+            lo8 = (lo // 8) * 8
+            nch = hi // 8 - lo // 8 + 1
+            z = jnp.zeros((A, Gb), jnp.float32)
+            p_scr[:] = z
+            w_scr[:] = z
+            v_scr[:] = z
+            c_scr[:] = z
+
+            def chunk(j, exp_acc):
+                base = pl.multiple_of(lo8 + j * 8, 8)
+                ohc = ((sio + base) == node).astype(jnp.float32)  # [8, Gb]
+                exp_acc = exp_acc + jnp.sum(
+                    expanded_ref[pl.ds(base, 8), :] * ohc,
+                    axis=0, keepdims=True)
+                m = ohc[None]  # [1, 8, Gb]
+                p_scr[:] += jnp.sum(
+                    prior_ref[:, pl.ds(base, 8), :] * m, axis=1)
+                w_scr[:] += jnp.sum(
+                    wsum_ref[:, pl.ds(base, 8), :] * m, axis=1)
+                v_scr[:] += jnp.sum(
+                    visits_ref[:, pl.ds(base, 8), :] * m, axis=1)
+                c_scr[:] += jnp.sum(
+                    child_ref[:, pl.ds(base, 8), :].astype(jnp.float32) * m,
+                    axis=1)
+                return exp_acc
+
+            exp = jax.lax.fori_loop(
+                0, nch, chunk, jnp.zeros((1, Gb), jnp.float32))
+            return exp, p_scr[:], w_scr[:], v_scr[:], c_scr[:]
 
     def body(st):
         d, node, found, leaf_action, needs_alloc = st
-        oh = (vio == node).astype(jnp.float32)  # [V, Gb]
-        exp = jnp.sum(expanded * oh, axis=0, keepdims=True)  # [1, Gb] {0,1}
+        exp, P, W, Vv, CR = gather_rows(node, found)
         live = (1.0 - found) * exp
-        P, W, Vv, CR = gather_rows(oh)
         Q = jnp.where(Vv > 0, W / jnp.maximum(Vv, 1.0), 0.0)
 
         PI = _node_policy_2d(P, Q, Vv, cpuct=cpuct)
@@ -242,7 +276,7 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
         action = _cdf_sample_2d(PI, prob, aio, A)
 
         nodes_out[pl.ds(d, 1), :] = jnp.where(live > 0.5, node, -1)
-        actions_out[pl.ds(d, 1), :] = action
+        actions_out[pl.ds(d, 1), :] = jnp.where(live > 0.5, action, 0)
 
         cid = jnp.sum(
             jnp.where(aio == action, CR, 0.0), axis=0, keepdims=True
@@ -313,7 +347,9 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float,
         scratch_shapes=[pltpu.VMEM((A, Gb), jnp.float32)] * 4,
         compiler_params=_compiler_params(A, V),
         interpret=interpret,
-    )(prior, wsum, visits, child, expanded.astype(jnp.int8), probs)
+        # expanded travels as f32: the wide path dynamic-slices it in
+        # 8-sublane chunks, and i8 tiles are 32-sublane.
+    )(prior, wsum, visits, child, expanded.astype(jnp.float32), probs)
     return nodes, actions, node[0], laction[0], alloc[0] != 0, rootpi
 
 
@@ -328,38 +364,48 @@ def _backup_kernel(nodes_ref, actions_ref, length_ref, value_ref,
     with the stat blocks VMEM-resident: the jnp while_loop version streams
     the full [A, V, G] arrays from HBM once per *depth step* - here the
     whole walk costs one HBM read + one write per block regardless of path
-    length.  The edge mask is one 3D outer product of the node and action
-    one-hots per depth."""
+    length.  After a copy-through of the blocks, each depth step updates
+    only the 8-sublane node chunks its edges actually land in (ids are
+    allocation-ordered: depth 0 is always the root chunk, deeper edges
+    span at most the current allocation count) - a read-modify-write of
+    [A, 8, Gb] slices instead of a full [A, V, Gb] pass per depth."""
     A = num_actions
     V = wsum_in.shape[1]
     length = length_ref[:]  # [1, Gb] i32
     value = value_ref[:]  # [1, Gb] f32
     Gb = length.shape[1]
-    vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
     aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
+    sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
 
+    wsum_out[:] = wsum_in[:]
+    visits_out[:] = visits_in[:]
     max_len = jnp.max(length)
 
-    def cond(st):
-        return st[0] < max_len
-
-    def body(st):
-        d, W, N = st
-        nodes = nodes_ref[pl.ds(d, 1), :]  # [1, Gb]
+    def body(d, _):
+        nodes = nodes_ref[pl.ds(d, 1), :]  # [1, Gb]; -1 = nothing recorded
         actions = actions_ref[pl.ds(d, 1), :]
         valid = nodes >= 0
         k = length - 1 - d
         contrib = jnp.where(k % 2 == 0, 1.0 - value, value)  # [1, Gb]
-        vm = ((vio == nodes) & valid).astype(jnp.float32)  # [V, Gb]
         am = (aio == actions).astype(jnp.float32)  # [A, Gb]
-        hit = am[:, None, :] * vm[None, :, :]  # [A, V, Gb]
-        return d + 1, W + hit * contrib, N + hit
+        amc = am * contrib
+        lo = jnp.min(jnp.where(valid, nodes, V - 1))
+        hi = jnp.max(jnp.where(valid, nodes, 0))
+        lo8 = (lo // 8) * 8
+        nch = hi // 8 - lo // 8 + 1  # <= 0 if no lane is valid at depth d
 
-    _, W, N = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), wsum_in[:], visits_in[:])
-    )
-    wsum_out[:] = W
-    visits_out[:] = N
+        def chunk(j, c):
+            base = pl.multiple_of(lo8 + j * 8, 8)
+            # invalid lanes (node -1) never match a chunk row
+            vm = ((sio + base) == nodes).astype(jnp.float32)  # [8, Gb]
+            wsum_out[:, pl.ds(base, 8), :] += amc[:, None, :] * vm[None]
+            visits_out[:, pl.ds(base, 8), :] += am[:, None, :] * vm[None]
+            return c
+
+        jax.lax.fori_loop(0, nch, chunk, 0)
+        return _
+
+    jax.lax.fori_loop(0, max_len, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

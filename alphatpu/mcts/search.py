@@ -121,7 +121,7 @@ def descend(game, tree: Tree, probs, cpuct):
         root_pi = jnp.where(depth == 0, pi, root_pi)
         action = cdf_sample(pi, probs[depth])  # [G]
         pnodes = pnodes.at[depth].set(jnp.where(live, node, -1))
-        pactions = pactions.at[depth].set(action)
+        pactions = pactions.at[depth].set(jnp.where(live, action, 0))
         cid = (gather_stat(tree.child, oh) * (act_ids == action[None])).sum(0)
         hit_missing = live & (cid == 0)
         leaf_action = jnp.where(hit_missing, action, leaf_action)

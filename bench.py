@@ -26,14 +26,29 @@ def main():
     # just means more rounds.
     games = int(os.environ.get("BENCH_GAMES", 8192))
     rollouts = int(os.environ.get("BENCH_ROLLOUTS", 64))
-    rounds = int(os.environ.get("BENCH_ROUNDS", 168))
+    game_name = os.environ.get("BENCH_GAME", "connect4")
+    bf16 = os.environ.get("BENCH_BF16", "") not in ("", "0")
+
+    from functools import partial
+
+    import jax.numpy as jnp
 
     from alphatpu.buffer import create_buffer
     from alphatpu.games import make_game
     from alphatpu.nets import apply_inference, config_for_game, init_params
+
+    game = make_game(game_name)
+    # enough rounds that every lane plays >= 2 full games at worst case
+    rounds = int(
+        os.environ.get("BENCH_ROUNDS", 0)
+    ) or max(168, 2 * game.max_game_length)
+    net_apply = (
+        partial(apply_inference, compute_dtype=jnp.bfloat16)
+        if bf16 else apply_inference
+    )
+
     from alphatpu.selfplay import SelfplayConfig, selfplay_continuous
 
-    game = make_game("connect4")
     params = init_params(jax.random.key(0), config_for_game(game))
     # Continuous selfplay (lane recycling) is the production generation mode:
     # every lane plays back-to-back games, every round is a full
@@ -50,11 +65,11 @@ def main():
     # block_until_ready - the axon tunnel backend's block_until_ready
     # returns before execution finishes, silently folding server-side
     # compile time into the timed region.
-    buf2, stats = run(game, apply_inference, params, buf, jax.random.key(1), cfg)
+    buf2, stats = run(game, net_apply, params, buf, jax.random.key(1), cfg)
     jax.device_get(stats["wins"])
 
     t0 = time.time()
-    buf2, stats = run(game, apply_inference, params, buf, jax.random.key(2), cfg)
+    buf2, stats = run(game, net_apply, params, buf, jax.random.key(2), cfg)
     stats = jax.device_get(stats)
     dt = time.time() - t0
 
@@ -71,7 +86,8 @@ def main():
     # absolute numbers, so vs_baseline tracks speedup over that anchor.
     anchor = float(os.environ.get("BENCH_ANCHOR_STEPS_PER_S", 50047.0)) or None
     result = {
-        "metric": f"selfplay_env_steps_per_s_connect4_g{games}_r{rollouts}",
+        "metric": f"selfplay_env_steps_per_s_{game_name}_g{games}_r{rollouts}"
+                  + ("_bf16" if bf16 else ""),
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / anchor, 3) if anchor else None,

@@ -1,4 +1,8 @@
-"""Honest (device_get-synced) ablation of the rollout body at G=16384."""
+"""Honest (device_get-synced) ablation of the rollout body.
+
+Env knobs: GAME (default connect4), G (default 16384), R (default 64).
+"""
+import os
 import time
 import jax, jax.numpy as jnp
 
@@ -8,8 +12,10 @@ from alphatpu.mcts.tree import init_tree
 from alphatpu.nets import apply_inference, config_for_game, init_params
 from alphatpu.selfplay import broadcast_initial
 
-G, R = 16384, 64
-game = make_game("connect4")
+G = int(os.environ.get("G", 16384))
+R = int(os.environ.get("R", 64))
+game = make_game(os.environ.get("GAME", "connect4"))
+print(f"game={game.name} G={G} R={R} A={game.max_actions}", flush=True)
 params = init_params(jax.random.key(0), config_for_game(game))
 positions = broadcast_initial(game, G)
 tree0 = init_tree(game, positions, R)
