@@ -1,0 +1,191 @@
+"""Probe-engine tests: rule agreement with the numpy oracles, known-value
+positions, strength over random, and the eval_vs_probe driver."""
+import numpy as np
+import jax
+
+from alphatpu.games import make_game
+from alphatpu.probe import (
+    LineProbe,
+    ReversiProbe,
+    eval_vs_probe,
+    probe_for_game,
+)
+
+from oracles import OracleConnect4, OracleGobang, OracleReversi
+
+
+def planes_of(oracle, st):
+    return oracle.planes(st)
+
+
+def random_playout_check(oracle, probe, steps, rng, line_game=True):
+    """Walk a random game; at every state check the probe's move is legal
+    per the oracle and its win/terminal detection agrees."""
+    st = oracle.initial()
+    for _ in range(steps):
+        over, _ = oracle.is_over(st)
+        if over:
+            break
+        mover, other = planes_of(oracle, st)
+        a = probe.best_action(mover > 0, other > 0, rng)
+        legal = oracle.legal_actions(st)
+        assert a in legal, (a, legal)
+        # win detection agreement on the mover's board
+        if line_game:
+            me, op = probe.from_planes(mover > 0, other > 0)
+            from oracles import _line_exists
+            assert probe.wins(op) == _line_exists(st["other"], oracle.nvict)
+        # step randomly (not by probe) to cover diverse states
+        st = oracle.play(st, legal[rng.integers(len(legal))])
+
+
+def test_ttt_probe_is_perfect():
+    """Full-depth 3x3 probe: self-play always draws, and it never loses
+    to any opponent - check vs 200 random-mover games."""
+    probe = LineProbe(3, 3, 3, depth=9)
+    oracle = OracleGobang(3, 3)
+    rng = np.random.default_rng(0)
+    for g in range(40):
+        st = oracle.initial()
+        probe_is_first = g % 2 == 0
+        for t in range(9):
+            over, res = oracle.is_over(st)
+            if over:
+                break
+            mover, other = planes_of(oracle, st)
+            if (t % 2 == 0) == probe_is_first:
+                a = probe.best_action(mover > 0, other > 0, rng)
+            else:
+                legal = oracle.legal_actions(st)
+                a = legal[rng.integers(len(legal))]
+            st = oracle.play(st, a)
+        over, res = oracle.is_over(st)
+        assert over
+        probe_sign = 1 if probe_is_first else -1
+        assert res * probe_sign >= 0, "perfect TTT probe lost a game"
+
+
+def test_ttt_probe_selfplay_draws():
+    probe = LineProbe(3, 3, 3, depth=9)
+    oracle = OracleGobang(3, 3)
+    rng = np.random.default_rng(1)
+    st = oracle.initial()
+    for _ in range(9):
+        over, res = oracle.is_over(st)
+        if over:
+            break
+        mover, other = planes_of(oracle, st)
+        st = oracle.play(st, probe.best_action(mover > 0, other > 0, rng))
+    over, res = oracle.is_over(st)
+    assert over and res == 0
+
+
+def test_connect4_probe_legal_and_tactics():
+    oracle = OracleConnect4()
+    probe = LineProbe(6, 7, 4, depth=4, gravity=True)
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        random_playout_check(oracle, probe, 42, rng)
+    # tactical check: wins on the spot / blocks an immediate threat
+    st = oracle.initial()
+    for a in [3, 2, 3, 2, 3]:  # first mover has 3 in column 3; block or lose
+        st = oracle.play(st, a)
+    mover, other = planes_of(oracle, st)
+    a = probe.best_action(mover > 0, other > 0, rng)
+    assert a == 3, "probe must block the vertical 4-threat"
+
+
+def test_connect4_probe_beats_random():
+    oracle = OracleConnect4()
+    probe = LineProbe(6, 7, 4, depth=4, gravity=True)
+    rng = np.random.default_rng(3)
+    score = 0
+    for g in range(10):
+        st = oracle.initial()
+        probe_first = g % 2 == 0
+        for t in range(42):
+            over, res = oracle.is_over(st)
+            if over:
+                break
+            mover, other = planes_of(oracle, st)
+            if (t % 2 == 0) == probe_first:
+                a = probe.best_action(mover > 0, other > 0, rng)
+            else:
+                legal = oracle.legal_actions(st)
+                a = legal[rng.integers(len(legal))]
+            st = oracle.play(st, a)
+        over, res = oracle.is_over(st)
+        score += res * (1 if probe_first else -1)
+    assert score >= 8, f"depth-4 probe should crush random (score {score})"
+
+
+def test_reversi_probe_rules_agree_with_oracle():
+    oracle = OracleReversi(6)
+    probe = ReversiProbe(6, depth=2)
+    rng = np.random.default_rng(4)
+    for _ in range(3):
+        st = oracle.initial()
+        for _ in range(50):
+            over, _ = oracle.is_over(st)
+            if over:
+                break
+            mover, other = planes_of(oracle, st)
+            me, op = probe.from_planes(mover > 0, other > 0)
+            legal_probe = probe.legal(me, op)
+            acts = sorted(a for a in range(36) if (legal_probe >> a) & 1) \
+                or [36]
+            assert acts == oracle.legal_actions(st)
+            a = acts[rng.integers(len(acts))]
+            # flip agreement
+            nop, nme = probe.play(me, op, a)
+            st = oracle.play(st, a)
+            m2, o2 = planes_of(oracle, st)
+            me2, op2 = probe.from_planes(m2 > 0, o2 > 0)
+            assert (nop, nme) == (me2, op2)
+
+
+def test_reversi_probe_beats_random():
+    oracle = OracleReversi(6)
+    probe = ReversiProbe(6, depth=3, exact_empties=8)
+    rng = np.random.default_rng(5)
+    score = 0
+    for g in range(6):
+        st = oracle.initial()
+        probe_first = g % 2 == 0
+        for t in range(60):
+            over, res = oracle.is_over(st)
+            if over:
+                break
+            mover, other = planes_of(oracle, st)
+            if (t % 2 == 0) == probe_first:
+                a = probe.best_action(mover > 0, other > 0, rng)
+            else:
+                legal = oracle.legal_actions(st)
+                a = legal[rng.integers(len(legal))]
+            st = oracle.play(st, a)
+        over, res = oracle.is_over(st)
+        assert over
+        score += res * (1 if probe_first else -1)
+    assert score >= 5, f"reversi probe should crush random (score {score})"
+
+
+def test_eval_vs_probe_driver():
+    """Smoke the batched driver on TicTacToe with an untrained net: counts
+    must sum to num_games, and the perfect probe must never lose."""
+    from alphatpu.nets import apply_inference, config_for_game, init_params
+
+    game = make_game("tictactoe")
+    params = init_params(jax.random.key(0), config_for_game(game))
+    w, d, l = eval_vs_probe(
+        game, apply_inference, params, jax.random.key(1),
+        probe_for_game(game), num_games=8, rollouts=8, temp_moves=2)
+    assert w + d + l == 8
+    assert w == 0, "an untrained net cannot beat the perfect TTT probe"
+
+
+def test_probe_for_game_mapping():
+    assert probe_for_game(make_game("tictactoe")).depth == 9
+    assert probe_for_game(make_game("connect4")).gravity
+    assert probe_for_game(make_game("reversi6x6")).size == 6
+    g8 = probe_for_game(make_game("gobang8"))
+    assert (g8.rows, g8.nvict) == (8, 5)
