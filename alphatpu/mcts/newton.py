@@ -51,10 +51,13 @@ def regularized_policy(prior, q, visits, cpuct):
 
     def step(st):
         alpha, prev_err, conv = st
-        bot = alpha[None, :] - q
-        frac = top / bot
+        # one reciprocal + two multiplies instead of two [A, G] divides
+        # (divides are the expensive op in the inner loop; the kernel uses
+        # the identical formula so parity is preserved)
+        r = 1.0 / (alpha[None, :] - q)
+        frac = top * r
         s = frac.sum(0)
-        grad = -(frac / bot).sum(0)
+        grad = -(frac * r).sum(0)
         err = s - 1.0
         now_conv = (err < NEWTON_TOL) | (err == prev_err)
         conv = conv | now_conv

@@ -54,8 +54,20 @@ from .newton import ALPHA_FLOOR, NEWTON_CHUNK, NEWTON_MAX_CHUNKS, NEWTON_TOL
 _VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic default is 16 MB; v5e has 128 MB
 
 
-def games_block(num_actions: int) -> int:
-    return 256 if num_actions <= 16 else 128
+def games_block(num_actions: int, num_nodes: int | None = None,
+                num_games: int | None = None) -> int:
+    """Lane-block width: 256 when the [A, V, 256] stat blocks fit the VMEM
+    budget (fewer grid steps, better overhead amortization), else 128.
+    Callers that know G pass it so the choice stays divisible."""
+    gb = 256
+    if num_actions > 16 and not (
+        num_nodes is not None
+        and 12 * num_actions * num_nodes * 256 * 4 < _VMEM_LIMIT
+    ):
+        gb = 128
+    if num_games is not None and num_games % gb != 0:
+        gb = 128
+    return gb
 
 
 def _narrow(num_actions: int) -> bool:
@@ -66,12 +78,13 @@ def _narrow(num_actions: int) -> bool:
     return num_actions <= 16
 
 
-def _compiler_params(num_actions: int, num_nodes: int):
+def _compiler_params(num_actions: int, num_nodes: int,
+                     num_games: int | None = None):
     # Only big stat blocks need a raised scoped-vmem ceiling; the default
     # 16 MB budget compiles measurably better schedules when it fits.  The
     # kernels keep ~3 block-sized values live (carries + the 3D edge mask)
     # plus in/out buffers, so gate well below the 16 MB default.
-    gb = games_block(num_actions)
+    gb = games_block(num_actions, num_nodes, num_games)
     block_bytes = num_actions * num_nodes * gb * 4
     if 12 * block_bytes < 8 * 1024 * 1024:
         return None
@@ -91,7 +104,7 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
     scratch/rows.  12 blocks of headroom covers both with a 2-block margin
     for Mosaic temporaries."""
     backend = jax.default_backend()
-    gb = games_block(num_actions)
+    gb = games_block(num_actions, num_nodes, num_games)
     block_bytes = num_actions * num_nodes * gb * 4
     return (
         backend in ("tpu", "axon")
@@ -120,10 +133,10 @@ def _node_policy_2d(P, Q, Vv, *, cpuct):
 
     def nstep(st):
         alpha, prev_err, conv = st
-        bot = alpha - Q  # [A, Gb]
-        frac = TOP / bot
+        r = 1.0 / (alpha - Q)  # [A, Gb]; divide-once form of newton.step
+        frac = TOP * r
         s = jnp.sum(frac, axis=0, keepdims=True)
-        grad = -jnp.sum(frac / bot, axis=0, keepdims=True)
+        grad = -jnp.sum(frac * r, axis=0, keepdims=True)
         err = s - 1.0
         now_conv = (err < NEWTON_TOL) | (err == prev_err)
         conv = jnp.maximum(conv, now_conv.astype(jnp.float32))
@@ -313,7 +326,7 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float,
     backend) - the CI parity path (tests/test_pallas.py)."""
     A, V, G = prior.shape
     D = probs.shape[0]
-    Gb = games_block(A)
+    Gb = games_block(A, V, G)
     assert G % Gb == 0
     grid = (G // Gb,)
 
@@ -345,7 +358,7 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float,
                   dg_spec],
         out_specs=(dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
         scratch_shapes=[pltpu.VMEM((A, Gb), jnp.float32)] * 4,
-        compiler_params=_compiler_params(A, V),
+        compiler_params=_compiler_params(A, V, G),
         interpret=interpret,
         # expanded travels as f32: the wide path dynamic-slices it in
         # 8-sublane chunks, and i8 tiles are 32-sublane.
@@ -418,7 +431,7 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
     """
     A, V, G = wsum.shape
     D = path_nodes.shape[0]
-    Gb = games_block(A)
+    Gb = games_block(A, V, G)
     grid = (G // Gb,)
 
     def avg(i):
@@ -442,7 +455,7 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
                   stat_spec, stat_spec],
         out_specs=(stat_spec, stat_spec),
         input_output_aliases={4: 0, 5: 1},
-        compiler_params=_compiler_params(A, V),
+        compiler_params=_compiler_params(A, V, G),
         interpret=interpret,
     )(
         path_nodes, path_actions, path_length[None, :],

@@ -1,13 +1,16 @@
 """Benchmark: selfplay throughput on the reference's headline workload shape.
 
-Runs one Connect-4 selfplay generation - 64 MCTS rollouts per move, the
-reference 512x4 net - at the largest game batch that fits, and reports
-env-steps/s (game moves decided per second, each backed by a full 64-rollout
-search).  Prints ONE JSON line.
+Runs one continuous-selfplay generation - 64 MCTS rollouts per move, the
+per-game reference net - and reports env-steps/s (game moves decided per
+second, each backed by a full 64-rollout search).  Prints ONE JSON line.
 
 The reference publishes no absolute throughput (BASELINE.md), so
-``vs_baseline`` is reported against the fixed anchor below once we have
-measured rounds to compare; round 1 establishes the number.
+``vs_baseline`` is reported against the fixed anchor below (this
+framework's unoptimized round-1 build).  benchmarks/matrix.py runs this
+measurement over the full BASELINE.json config matrix.
+
+Env knobs: BENCH_GAME, BENCH_GAMES, BENCH_ROLLOUTS, BENCH_BF16,
+BENCH_ROUNDS, BENCH_ANCHOR_STEPS_PER_S.
 """
 import json
 import os
@@ -16,43 +19,46 @@ import time
 
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
 
-import jax
+# Anchor: this framework's unoptimized round-1 build (one-shot generation,
+# pure jnp phases) measured on the same chip and workload shape:
+# 50,047 env-steps/s on TPU v5e-1 (Connect-4, 64 rollouts).
+ANCHOR_STEPS_PER_S = 50047.0
+
+# v5e peak: 197 TFLOP/s bf16 (MXU); f32 runs at roughly a quarter of that.
+PEAK_FLOPS_BF16 = 197e12
 
 
-def main():
-    # 8192 lanes is the single-chip sweet spot: the whole tree stays
-    # VMEM-resident across a search (v5e has 128 MB VMEM), and continuous
-    # mode decouples lane count from samples per generation - more samples
-    # just means more rounds.
-    games = int(os.environ.get("BENCH_GAMES", 8192))
-    rollouts = int(os.environ.get("BENCH_ROLLOUTS", 64))
-    game_name = os.environ.get("BENCH_GAME", "connect4")
-    bf16 = os.environ.get("BENCH_BF16", "") not in ("", "0")
+def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
+            rounds=0, seed=0):
+    """One timed continuous-selfplay generation; returns a result dict.
 
+    8192 lanes is the single-chip sweet spot for narrow boards (the whole
+    tree stays VMEM-resident across a search); continuous mode decouples
+    lane count from samples per generation - the reference's 32,768
+    games/generation shape is lanes x rounds here (benchmarks/lane_sweep.py
+    measures the equivalence).
+    """
     from functools import partial
 
+    import jax
     import jax.numpy as jnp
 
     from alphatpu.buffer import create_buffer
     from alphatpu.games import make_game
     from alphatpu.nets import apply_inference, config_for_game, init_params
+    from alphatpu.selfplay import SelfplayConfig, selfplay_continuous
 
     game = make_game(game_name)
     # enough rounds that every lane plays >= 2 full games at worst case
-    rounds = int(
-        os.environ.get("BENCH_ROUNDS", 0)
-    ) or max(168, 2 * game.max_game_length)
+    rounds = rounds or max(168, 2 * game.max_game_length)
     net_apply = (
         partial(apply_inference, compute_dtype=jnp.bfloat16)
         if bf16 else apply_inference
     )
 
-    from alphatpu.selfplay import SelfplayConfig, selfplay_continuous
-
-    params = init_params(jax.random.key(0), config_for_game(game))
-    # Continuous selfplay (lane recycling) is the production generation mode:
-    # every lane plays back-to-back games, every round is a full
-    # ``rollouts``-deep decision that lands a training sample.
+    net_cfg = config_for_game(game)
+    params = init_params(jax.random.key(seed), net_cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
     cfg = SelfplayConfig(
         num_games=games, rollouts=rollouts, cpuct=1.5,
         continuous=True, rounds=rounds,
@@ -65,41 +71,59 @@ def main():
     # block_until_ready - the axon tunnel backend's block_until_ready
     # returns before execution finishes, silently folding server-side
     # compile time into the timed region.
-    buf2, stats = run(game, net_apply, params, buf, jax.random.key(1), cfg)
+    _, stats = run(game, net_apply, params, buf, jax.random.key(seed + 1), cfg)
     jax.device_get(stats["wins"])
 
     t0 = time.time()
-    buf2, stats = run(game, net_apply, params, buf, jax.random.key(2), cfg)
+    _, stats = run(game, net_apply, params, buf, jax.random.key(seed + 2), cfg)
     stats = jax.device_get(stats)
     dt = time.time() - t0
 
     # env-steps: every (game, move) with the game still alive got a full
-    # 64-rollout decision; that count equals samples_written (+ alive moves
-    # of unfinished games, negligible).
+    # ``rollouts``-deep decision; that count equals samples_written (+ alive
+    # moves of unfinished games, negligible).
     env_steps = float(stats["samples_written"])
     steps_per_s = env_steps / dt
     rollouts_per_s = steps_per_s * rollouts
+    # NN-math MFU estimate: each rollout evaluates the net once per lane
+    # (2 * params flops per sample), against the chip's bf16 MXU peak.
+    mfu = rollouts_per_s * 2 * n_params / PEAK_FLOPS_BF16
 
-    # Anchor: this framework's unoptimized round-1 build (one-shot
-    # generation, pure jnp phases) measured on the same chip and workload
-    # shape: 50,047 env-steps/s on TPU v5e-1.  The reference publishes no
-    # absolute numbers, so vs_baseline tracks speedup over that anchor.
-    anchor = float(os.environ.get("BENCH_ANCHOR_STEPS_PER_S", 50047.0)) or None
-    result = {
+    return {
         "metric": f"selfplay_env_steps_per_s_{game_name}_g{games}_r{rollouts}"
                   + ("_bf16" if bf16 else ""),
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
-        "vs_baseline": round(steps_per_s / anchor, 3) if anchor else None,
+        "vs_baseline": round(steps_per_s / ANCHOR_STEPS_PER_S, 3),
         "extra": {
             "wall_s": round(dt, 2),
             "rollouts_per_s": round(rollouts_per_s, 1),
             "games": games,
             "rollouts": rollouts,
+            "net": f"{net_cfg.depth}x{net_cfg.width}",
+            "params": n_params,
+            "nn_mfu_vs_bf16_peak": round(mfu, 4),
             "mean_game_length": round(float(stats["mean_length"]), 2),
-            "device": str(jax.devices()[0]),
+            "bf16_inference": bf16,
         },
     }
+
+
+def main():
+    games = int(os.environ.get("BENCH_GAMES", 8192))
+    rollouts = int(os.environ.get("BENCH_ROLLOUTS", 64))
+    game_name = os.environ.get("BENCH_GAME", "connect4")
+    bf16 = os.environ.get("BENCH_BF16", "") not in ("", "0")
+    rounds = int(os.environ.get("BENCH_ROUNDS", 0))
+
+    result = measure(game_name, games, rollouts, bf16, rounds)
+    anchor = os.environ.get("BENCH_ANCHOR_STEPS_PER_S")
+    if anchor:
+        result["vs_baseline"] = round(result["value"] / float(anchor), 3)
+
+    import jax
+
+    result["extra"]["device"] = str(jax.devices()[0])
     print(json.dumps(result))
     return 0
 
