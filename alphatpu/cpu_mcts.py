@@ -1,8 +1,16 @@
-"""Scalar (pure Python/numpy) twin of the batched MCTS - the test oracle.
+"""Production single-game CPU MCTS - the reference's `fast_mcts.jl` twin.
 
-Implements the *reference GPU algorithm* semantics node-by-node
-(mcts_gpu.jl:100-339), including the quirks the batched engine must
-reproduce:
+The reference ships a pointer-based scalar CPU engine alongside the GPU
+one, used for interactive play and as a cross-check (fast_mcts.jl:267-308,
+`MctsContext`).  This module is its equivalent: a pure Python/numpy
+engine over the host-side rule oracles (:mod:`alphatpu.oracles`), with a
+numpy forward of the same checkpoint pytree (the reference's
+`convert_back_cpu` weight transfer, DenseNet.jl:339-341, is a no-op here -
+one parameter dict serves jit and numpy).
+
+:class:`ScalarMCTS` implements the *reference GPU algorithm* semantics
+node-by-node (mcts_gpu.jl:100-339), including the quirks the batched
+engine must reproduce:
 
 * the regularized-policy Newton solve with the 1e-4 gap floor, 1e-3
   tolerance, and repeat-error early exit,
@@ -15,8 +23,10 @@ reproduce:
 * root-only 0.75/0.25 uniform prior mixing during training,
 * backup with value flip and incremental-mean q of (1 - value).
 
-Consumes injected uniforms so the batched engine can be compared on the
-same stream.  Game rules come from the numpy oracles in `oracles.py`.
+It consumes injected uniforms, which doubles as the test hook: the
+batched engine is compared node-for-node on the same stream
+(tests/test_mcts.py).  :class:`MctsContext` wraps it with a real RNG and
+a net for production use (interactive play without a TPU).
 """
 from __future__ import annotations
 
@@ -170,3 +180,83 @@ class ScalarMCTS:
             move = cur.action_from
             idx = cur.parent
             value = F(1.0 - value)
+
+
+# ---------------------------------------------------------------------------
+# production wrapper: numpy net forward + oracle mapping + MctsContext
+# ---------------------------------------------------------------------------
+
+
+def numpy_net(params):
+    """(prior_fn, value_fn) evaluating the checkpoint pytree with numpy -
+    the CPU twin of nets.apply_inference (reference snetwork2 CPU method,
+    DenseNet.jl:306-316).  Input: an oracle state dict; encoding matches
+    game.encode (mover planes then opponent planes, cell = r + rows * c)."""
+    P = {k: np.asarray(v, np.float32) for k, v in params.items()}
+
+    def relu(x):
+        return np.maximum(x, 0.0)
+
+    def forward(st):
+        mover = st["mover"].T.reshape(-1).astype(np.float32)
+        other = st["other"].T.reshape(-1).astype(np.float32)
+        x = np.concatenate([mover, other])
+        b = relu(x @ P["base"])
+        for w in P["res"]:
+            b = relu(b + relu(b @ w))
+        logits = b @ P["policy_w"] + P["policy_b"]
+        logits -= logits.max()
+        e = np.exp(logits)
+        prior = (e / e.sum()).astype(F)
+        value = 1.0 / (1.0 + np.exp(-(b @ P["value_w"] + P["value_b"])))
+        return prior, F(value[0])
+
+    return (lambda st: forward(st)[0]), (lambda st: forward(st)[1])
+
+
+def oracle_for_game(game):
+    """The numpy rule oracle matching a framework game object."""
+    from .oracles import (
+        OracleConnect4,
+        OracleGobang,
+        OracleHex,
+        OracleReversi,
+    )
+
+    name = game.name
+    if name == "connect4":
+        return OracleConnect4()
+    if name == "tictactoe" or name.startswith("gobang"):
+        return OracleGobang(game.n, game.nvict)
+    if name.startswith("hex"):
+        return OracleHex(game.n)
+    if name.startswith("reversi"):
+        return OracleReversi(game.size)
+    raise ValueError(f"no oracle for {name}")
+
+
+class MctsContext:
+    """Callable single-game searcher, the reference `MctsContext`
+    (fast_mcts.jl:267-308): ``ctx(state, readout)`` runs ``readout``
+    rollouts from ``state`` and returns ``(pi_root, v_root)`` where
+    ``v_root`` is the visit-weighted root value (the reference's
+    `extractRoot`)."""
+
+    def __init__(self, cpuct, game, params, *, training=False, seed=0):
+        self.oracle = oracle_for_game(game)
+        prior_fn, value_fn = numpy_net(params)
+        self.engine = ScalarMCTS(
+            self.oracle, game.max_actions, cpuct, training,
+            prior_fn, value_fn,
+        )
+        self.max_depth = game.max_game_length
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, state, readout):
+        probs = self.rng.random((readout, self.max_depth), dtype=np.float32)
+        nodes, _ = self.engine.search(state, probs)
+        root = nodes[0]
+        total = root.visits.sum()
+        pi = (root.visits / total).astype(F) if total > 0 else root.policy
+        v = F((root.q * root.visits).sum() / total) if total > 0 else F(0.5)
+        return pi, v

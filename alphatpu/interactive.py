@@ -2,9 +2,11 @@
 
 Reference equivalent: `testvsordi` in testHex.jl:20-69 / testgobang.jl /
 testrev6.jl / testrev8.jl, which runs the CPU MCTS twin against a human.
-Here the *same* jitted batched engine runs with G=1 (no separate scalar
-engine needed - the array program is the single source of truth), on
-whatever backend is available.
+By default the *same* jitted batched engine runs with G=1 (the array
+program is the single source of truth), on whatever backend is available;
+``--cpu`` switches to the pure numpy single-game engine
+(:mod:`alphatpu.cpu_mcts`, the reference's fast_mcts.jl) - no jit, no
+accelerator, instant first move.
 
 Run:
     python -m alphatpu.interactive --game connect4 --ckpt DataConnect4/net3.npz \
@@ -94,6 +96,10 @@ def main(argv=None) -> int:
     p.add_argument("--svg", default=None,
                    help="write the current board to this SVG file each ply "
                         "(the reference's Luxor renderer, testHex.jl:71-112)")
+    p.add_argument("--cpu", action="store_true",
+                   help="use the pure numpy single-game engine "
+                        "(cpu_mcts.MctsContext, the reference's fast_mcts) "
+                        "instead of the jitted batched engine at G=1")
     args = p.parse_args(argv)
 
     from .games import make_game
@@ -112,7 +118,24 @@ def main(argv=None) -> int:
     else:
         print("WARNING: no checkpoint given - playing with random weights")
 
-    engine = make_engine(game, apply_inference, args.readout, args.cpuct)
+    if args.cpu:
+        from .cpu_mcts import MctsContext
+
+        ctx = MctsContext(args.cpuct, game, params)
+        V = game.vectorized_state
+        rows = game.spec.rows if hasattr(game, "spec") else game.n + 1
+
+        def cpu_engine(pos):
+            enc = np.asarray(jax.jit(game.encode)(pos))
+            st = {
+                "mover": enc[:V].reshape(-1, rows).T > 0,
+                "other": enc[V:].reshape(-1, rows).T > 0,
+                "player": int(pos.player),
+            }
+            pi, v = ctx(st, args.readout)
+            return int(np.argmax(pi)), pi
+    else:
+        engine = make_engine(game, apply_inference, args.readout, args.cpuct)
     key = jax.random.key(1)
     pos = game.initial()
     human_turn = not args.second
@@ -145,9 +168,12 @@ def main(argv=None) -> int:
                     print("illegal move")
                     move = None
         else:
-            key, sub = jax.random.split(key)
-            action, pol = engine(params, pos, sub)
-            move = int(action)
+            if args.cpu:
+                move, pol = cpu_engine(pos)
+            else:
+                key, sub = jax.random.split(key)
+                action, pol = engine(params, pos, sub)
+                move = int(action)
             print(f"engine plays {move_name(game, move)} "
                   f"(pi={float(pol[move]):.2f})")
         pos = jax.jit(game.play)(pos, jnp.int32(move))

@@ -10,7 +10,7 @@ import pytest
 
 from alphatpu.games import make_game
 
-import oracles
+from alphatpu import oracles
 
 
 def _pair(name):

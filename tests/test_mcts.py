@@ -12,8 +12,8 @@ from alphatpu.games import make_game
 from alphatpu.mcts import init_tree, run_mcts
 from alphatpu.mcts.newton import cdf_sample, regularized_policy
 
-import oracles
-import scalar_mcts
+from alphatpu import oracles
+from alphatpu import cpu_mcts as scalar_mcts
 
 F = np.float32
 

@@ -11,7 +11,7 @@ from alphatpu.probe import (
     probe_for_game,
 )
 
-from oracles import OracleConnect4, OracleGobang, OracleReversi
+from alphatpu.oracles import OracleConnect4, OracleGobang, OracleReversi
 
 
 def planes_of(oracle, st):
@@ -33,7 +33,7 @@ def random_playout_check(oracle, probe, steps, rng, line_game=True):
         # win detection agreement on the mover's board
         if line_game:
             me, op = probe.from_planes(mover > 0, other > 0)
-            from oracles import _line_exists
+            from alphatpu.oracles import _line_exists
             assert probe.wins(op) == _line_exists(st["other"], oracle.nvict)
         # step randomly (not by probe) to cover diverse states
         st = oracle.play(st, legal[rng.integers(len(legal))])
