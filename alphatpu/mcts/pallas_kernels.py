@@ -59,8 +59,11 @@ def games_block(num_actions: int, num_nodes: int | None = None,
     """Lane-block width: 256 when the [A, V, 256] stat blocks fit the VMEM
     budget (fewer grid steps, better overhead amortization), else 128.
     Callers that know G pass it so the choice stays divisible."""
-    gb = 256
-    if num_actions > 16 and not (
+    import os
+
+    force = os.environ.get("ALPHATPU_GB")  # measurement override (A/B)
+    gb = int(force) if force else 256
+    if not force and num_actions > 16 and not (
         num_nodes is not None
         and 12 * num_actions * num_nodes * 256 * 4 < _VMEM_LIMIT
     ):
