@@ -18,13 +18,12 @@ Two kernels cover the whole per-rollout tree work:
 The Newton solve and the CDF sampling walk are vectorized over the action
 axis ([A, Gb] tiles; prefix sums via sublane rolls), so the math's
 op-issue count is independent of board width (A up to 169 for 13x13
-Gobang/Hex).  The node-axis (V) work - select's per-node row gathers and
-backup's edge updates - is bounded per depth step to the 8-sublane chunks
-actually spanned by the lanes' node ids: ids are allocation-ordered and
-never exceed the rollout's allocation count, so early rollouts (and depth
-0, where every lane sits at the root) touch ONE chunk instead of all V/8.
-This is what keeps wide boards (large A, where each chunk costs A rows)
-off the O(A*V) cliff per depth step.
+Gobang/Hex).  The node-axis (V) gathers in select are straight-line
+action-outer one-hot reduces (static slices only - measured faster than
+dynamic live-span chunking, whose per-chunk scratch read-modify-write and
+loop overheads dominated); backup's edge updates are bounded to the
+8-sublane chunks its path nodes actually land in (ids are
+allocation-ordered, so depth 0 is always the root chunk).
 
 Numerics vs the jnp reference in :mod:`alphatpu.mcts.search` /
 :mod:`alphatpu.mcts.newton`: the Newton solve is bit-identical (same alpha
@@ -229,51 +228,32 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
                          keepdims=True) for a in range(A)], axis=0)
             return exp, P, W, Vv, CR
     else:
-        sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
+        vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
 
         def gather_rows(node, found):
-            """Wide boards gather whole [A, 8, Gb] stat slabs - one dynamic
-            3D slice per array per chunk, reduced over the sublane axis
-            against the node one-hot (vectorized over A; per-action row
-            streaming costs A slice ops per chunk and Mosaic handles the
-            slab slice fine - backup's RMW uses the same shape).  Only the
-            8-sublane chunks spanned by the still-walking lanes' node ids
-            are touched (ids are allocation-ordered, so the span grows with
-            tree occupancy; depth 0 - every lane at the root - is one
-            chunk).  Finished lanes are excluded from the bound and read
-            all-zero rows, which the policy/sampling math degrades to
-            harmlessly (prior 0 -> pi 0 -> action 0, never consumed)."""
-            walking = found < 0.5
-            lo = jnp.min(jnp.where(walking, node, V - 1))
-            hi = jnp.max(jnp.where(walking, node, 0))
-            lo8 = (lo // 8) * 8
-            nch = hi // 8 - lo // 8 + 1
-            z = jnp.zeros((A, Gb), jnp.float32)
-            p_scr[:] = z
-            w_scr[:] = z
-            v_scr[:] = z
-            c_scr[:] = z
-
-            def chunk(j, exp_acc):
-                base = pl.multiple_of(lo8 + j * 8, 8)
-                ohc = ((sio + base) == node).astype(jnp.float32)  # [8, Gb]
-                exp_acc = exp_acc + jnp.sum(
-                    expanded_ref[pl.ds(base, 8), :] * ohc,
-                    axis=0, keepdims=True)
-                m = ohc[None]  # [1, 8, Gb]
-                p_scr[:] += jnp.sum(
-                    prior_ref[:, pl.ds(base, 8), :] * m, axis=1)
-                w_scr[:] += jnp.sum(
-                    wsum_ref[:, pl.ds(base, 8), :] * m, axis=1)
-                v_scr[:] += jnp.sum(
-                    visits_ref[:, pl.ds(base, 8), :] * m, axis=1)
-                c_scr[:] += jnp.sum(
-                    child_ref[:, pl.ds(base, 8), :].astype(jnp.float32) * m,
-                    axis=1)
-                return exp_acc
-
-            exp = jax.lax.fori_loop(
-                0, nch, chunk, jnp.zeros((1, Gb), jnp.float32))
+            """Wide boards: action-outer static unroll.  One full [V, Gb]
+            node one-hot per depth step, then per action a STATIC slice
+            ``ref[a]`` multiplied and sublane-reduced into the scratch row
+            ``scr[a]`` - pure straight-line vector code with no dynamic
+            slices, no fori_loop, no span bookkeeping and no
+            read-modify-write accumulation (each scratch row is written
+            exactly once).  Measured faster than the earlier live-span
+            chunked gather despite always touching all V rows: the removed
+            per-chunk scratch RMW and loop overheads dominate the extra
+            all-zero row reads.  Finished lanes read node 0's row, which
+            the policy/sampling math never consumes."""
+            oh = (vio == node).astype(jnp.float32)  # [V, Gb]
+            exp = jnp.sum(expanded_ref[:] * oh, axis=0, keepdims=True)
+            for a in range(A):
+                p_scr[pl.ds(a, 1)] = jnp.sum(
+                    prior_ref[a] * oh, axis=0, keepdims=True)
+                w_scr[pl.ds(a, 1)] = jnp.sum(
+                    wsum_ref[a] * oh, axis=0, keepdims=True)
+                v_scr[pl.ds(a, 1)] = jnp.sum(
+                    visits_ref[a] * oh, axis=0, keepdims=True)
+                c_scr[pl.ds(a, 1)] = jnp.sum(
+                    child_ref[a].astype(jnp.float32) * oh, axis=0,
+                    keepdims=True)
             return exp, p_scr[:], w_scr[:], v_scr[:], c_scr[:]
 
     def body(st):
