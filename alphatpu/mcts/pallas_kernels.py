@@ -47,6 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .newton import ALPHA_FLOOR, NEWTON_CHUNK, NEWTON_MAX_CHUNKS, NEWTON_TOL
 
+# Wide-board gather strategy (A/B knob, benchmarks/select_variants.py):
+#   "slices" - action-outer static slices, one scratch row write per action
+#   "block"  - one full-block broadcast multiply + sublane reduce per array
+#   "chunk8" - slices in groups of 8, one [8, Gb] scratch write per group
+SELECT_GATHER = __import__("os").environ.get("ALPHATPU_SELECT_GATHER",
+                                             "slices")
+
 # f32 lane tile is (8, 128): G blocks must be multiples of 128.  256 lanes
 # for small action spaces; 128 for wide boards (Gobang/Hex/Reversi8) whose
 # [A, V, Gb] stat blocks are A-times larger.
@@ -227,6 +234,40 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
                 [jnp.sum(child_s[a].astype(jnp.float32) * oh, axis=0,
                          keepdims=True) for a in range(A)], axis=0)
             return exp, P, W, Vv, CR
+    elif SELECT_GATHER == "block":
+        vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
+
+        def gather_rows(node, found):
+            """Wide boards: one broadcast multiply + sublane reduce over the
+            whole [A, V, Gb] block per stat array - no per-action Python
+            loop, no scratch writes.  Finished lanes read node 0's row,
+            which the policy/sampling math never consumes."""
+            oh = (vio == node).astype(jnp.float32)  # [V, Gb]
+            exp = jnp.sum(expanded_ref[:] * oh, axis=0, keepdims=True)
+            P = jnp.sum(prior_ref[:] * oh[None], axis=1)
+            W = jnp.sum(wsum_ref[:] * oh[None], axis=1)
+            Vv = jnp.sum(visits_ref[:] * oh[None], axis=1)
+            CR = jnp.sum(child_ref[:].astype(jnp.float32) * oh[None], axis=1)
+            return exp, P, W, Vv, CR
+    elif SELECT_GATHER == "chunk8":
+        vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
+
+        def gather_rows(node, found):
+            """Wide boards: action-outer static slices in groups of 8, one
+            [8, Gb] (tile-aligned) scratch write per group instead of a
+            single-sublane write per action."""
+            oh = (vio == node).astype(jnp.float32)  # [V, Gb]
+            exp = jnp.sum(expanded_ref[:] * oh, axis=0, keepdims=True)
+            for a0 in range(0, A, 8):
+                n = min(8, A - a0)
+                for ref, scr in ((prior_ref, p_scr), (wsum_ref, w_scr),
+                                 (visits_ref, v_scr), (child_ref, c_scr)):
+                    rows = jnp.concatenate(
+                        [jnp.sum(ref[a0 + j].astype(jnp.float32) * oh,
+                                 axis=0, keepdims=True) for j in range(n)],
+                        axis=0)
+                    scr[pl.ds(a0, n)] = rows
+            return exp, p_scr[:], w_scr[:], v_scr[:], c_scr[:]
     else:
         vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
 
