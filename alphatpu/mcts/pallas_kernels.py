@@ -39,6 +39,7 @@ benchmarks/kernel_parity.py tolerates the occasional action divergence).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,13 +47,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .newton import ALPHA_FLOOR, NEWTON_CHUNK, NEWTON_MAX_CHUNKS, NEWTON_TOL
-
-# Wide-board gather strategy (A/B knob, benchmarks/select_variants.py):
-#   "slices" - action-outer static slices, one scratch row write per action
-#   "block"  - one full-block broadcast multiply + sublane reduce per array
-#   "chunk8" - slices in groups of 8, one [8, Gb] scratch write per group
-SELECT_GATHER = __import__("os").environ.get("ALPHATPU_SELECT_GATHER",
-                                             "slices")
 
 # f32 lane tile is (8, 128): G blocks must be multiples of 128.  256 lanes
 # for small action spaces; 128 for wide boards (Gobang/Hex/Reversi8) whose
@@ -65,8 +59,6 @@ def games_block(num_actions: int, num_nodes: int | None = None,
     """Lane-block width: 256 when the [A, V, 256] stat blocks fit the VMEM
     budget (fewer grid steps, better overhead amortization), else 128.
     Callers that know G pass it so the choice stays divisible."""
-    import os
-
     force = os.environ.get("ALPHATPU_GB")  # measurement override (A/B)
     gb = int(force) if force else 256
     if not force and num_actions > 16 and not (
@@ -112,6 +104,8 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
     select holds 4 double-buffered stat inputs = 8 blocks plus [A, Gb]-sized
     scratch/rows.  12 blocks of headroom covers both with a 2-block margin
     for Mosaic temporaries."""
+    if os.environ.get("ALPHATPU_NO_KERNELS"):  # debug: force the jnp path
+        return False
     backend = jax.default_backend()
     gb = games_block(num_actions, num_nodes, num_games)
     block_bytes = num_actions * num_nodes * gb * 4
@@ -119,6 +113,10 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
         backend in ("tpu", "axon")
         and num_games % gb == 0
         and num_nodes % 8 == 0
+        # A > 128 (gobang13/hex13) crashed the TPU worker in Mosaic-compiled
+        # select (results_r3 hex13 entry); those boards take the jnp path
+        # until the kernel is validated there.
+        and num_actions <= 128
         and 12 * block_bytes < _VMEM_LIMIT
     )
 
@@ -234,40 +232,6 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
                 [jnp.sum(child_s[a].astype(jnp.float32) * oh, axis=0,
                          keepdims=True) for a in range(A)], axis=0)
             return exp, P, W, Vv, CR
-    elif SELECT_GATHER == "block":
-        vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
-
-        def gather_rows(node, found):
-            """Wide boards: one broadcast multiply + sublane reduce over the
-            whole [A, V, Gb] block per stat array - no per-action Python
-            loop, no scratch writes.  Finished lanes read node 0's row,
-            which the policy/sampling math never consumes."""
-            oh = (vio == node).astype(jnp.float32)  # [V, Gb]
-            exp = jnp.sum(expanded_ref[:] * oh, axis=0, keepdims=True)
-            P = jnp.sum(prior_ref[:] * oh[None], axis=1)
-            W = jnp.sum(wsum_ref[:] * oh[None], axis=1)
-            Vv = jnp.sum(visits_ref[:] * oh[None], axis=1)
-            CR = jnp.sum(child_ref[:].astype(jnp.float32) * oh[None], axis=1)
-            return exp, P, W, Vv, CR
-    elif SELECT_GATHER == "chunk8":
-        vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
-
-        def gather_rows(node, found):
-            """Wide boards: action-outer static slices in groups of 8, one
-            [8, Gb] (tile-aligned) scratch write per group instead of a
-            single-sublane write per action."""
-            oh = (vio == node).astype(jnp.float32)  # [V, Gb]
-            exp = jnp.sum(expanded_ref[:] * oh, axis=0, keepdims=True)
-            for a0 in range(0, A, 8):
-                n = min(8, A - a0)
-                for ref, scr in ((prior_ref, p_scr), (wsum_ref, w_scr),
-                                 (visits_ref, v_scr), (child_ref, c_scr)):
-                    rows = jnp.concatenate(
-                        [jnp.sum(ref[a0 + j].astype(jnp.float32) * oh,
-                                 axis=0, keepdims=True) for j in range(n)],
-                        axis=0)
-                    scr[pl.ds(a0, n)] = rows
-            return exp, p_scr[:], w_scr[:], v_scr[:], c_scr[:]
     else:
         vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
 
@@ -278,11 +242,11 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
             ``scr[a]`` - pure straight-line vector code with no dynamic
             slices, no fori_loop, no span bookkeeping and no
             read-modify-write accumulation (each scratch row is written
-            exactly once).  Measured faster than the earlier live-span
-            chunked gather despite always touching all V rows: the removed
-            per-chunk scratch RMW and loop overheads dominate the extra
-            all-zero row reads.  Finished lanes read node 0's row, which
-            the policy/sampling math never consumes."""
+            exactly once).  Measured faster than both the earlier live-span
+            chunked gather and the full-block broadcast-reduce and chunk-of-8
+            A/B variants (commit 1323f41: 2.94 -> 1.99 ms/rollout on hex7),
+            which were pruned after losing.  Finished lanes read node 0's
+            row, which the policy/sampling math never consumes."""
             oh = (vio == node).astype(jnp.float32)  # [V, Gb]
             exp = jnp.sum(expanded_ref[:] * oh, axis=0, keepdims=True)
             for a in range(A):

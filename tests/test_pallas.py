@@ -41,9 +41,13 @@ def _grown_tree(game_name, G, rollouts, seed=0):
 
 # tictactoe (A=9) exercises the narrow register path; hex5 (A=25) the wide
 # VMEM-scratch path.  G must be a games_block multiple; V a multiple of 8.
+# The V=64 case is the production node-pool size: descend walks reach
+# depths whose backup paths span multiple 8-sublane node chunks, covering
+# the live-chunk fori_loop in _backup_kernel at realistic spans.
 @pytest.mark.parametrize("game_name,G,V", [
     ("tictactoe", 256, 16),
     ("hex5", 128, 16),
+    ("hex5", 128, 64),
 ])
 def test_select_kernel_matches_jnp(game_name, G, V):
     game, tree = _grown_tree(game_name, G, V)
@@ -80,6 +84,7 @@ def test_select_kernel_matches_jnp(game_name, G, V):
 @pytest.mark.parametrize("game_name,G,V", [
     ("tictactoe", 256, 16),
     ("hex5", 128, 16),
+    ("hex5", 128, 64),
 ])
 def test_backup_kernel_matches_jnp(game_name, G, V):
     game, tree = _grown_tree(game_name, G, V)
