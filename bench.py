@@ -71,13 +71,21 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
     # block_until_ready - the axon tunnel backend's block_until_ready
     # returns before execution finishes, silently folding server-side
     # compile time into the timed region.
-    _, stats = run(game, net_apply, params, buf, jax.random.key(seed + 1), cfg)
+    _, stats, _ = run(game, net_apply, params, buf, jax.random.key(seed + 1),
+                      cfg)
     jax.device_get(stats["wins"])
 
-    t0 = time.time()
-    _, stats = run(game, net_apply, params, buf, jax.random.key(seed + 2), cfg)
-    stats = jax.device_get(stats)
-    dt = time.time() - t0
+    # the tunnel TPU is time-shared: single-shot timings vary up to ~4x
+    # across moments, so take the median of 3 timed runs.
+    times = []
+    for _rep in range(3):  # same key => identical work every rep
+        t0 = time.time()
+        _, stats, _ = run(
+            game, net_apply, params, buf, jax.random.key(seed + 2), cfg
+        )
+        stats = jax.device_get(stats)
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
 
     # env-steps: every (game, move) with the game still alive got a full
     # ``rollouts``-deep decision; that count equals samples_written (+ alive

@@ -22,10 +22,12 @@ for G in (4096, 8192, 16384, 32768):
     buf = create_buffer(game, capacity=2_000_000)
     cfg = SelfplayConfig(num_games=G, rollouts=64, continuous=True,
                          rounds=rounds)
-    b2, stats = run(game, apply_inference, params, buf, jax.random.key(1), cfg)
+    b2, stats, _ = run(game, apply_inference, params, buf, jax.random.key(1),
+                       cfg)
     _ = jax.device_get(stats["wins"])
     t0 = time.time()
-    b2, stats = run(game, apply_inference, params, buf, jax.random.key(2), cfg)
+    b2, stats, _ = run(game, apply_inference, params, buf, jax.random.key(2),
+                       cfg)
     s = jax.device_get(stats)
     dt = time.time() - t0
     sps = int(s["samples_written"]) / dt
