@@ -63,29 +63,54 @@ def _psum_stats(stats):
 
 
 def sharded_selfplay_fn(game, net_apply, cfg: SelfplayConfig, mesh: Mesh):
-    """Build a jitted ``(params, buffer, keys) -> (buffer, stats)`` where the
-    buffer rows and per-device rings shard over the mesh and each device
-    plays ``cfg.num_games / D`` games locally."""
+    """Build a jitted sharded selfplay executor: the buffer rows and
+    per-device rings shard over the mesh and each device plays
+    ``cfg.num_games / D`` games locally.
+
+    One-shot mode: ``(params, buffer, keys) -> (buffer, stats)``.
+    Continuous mode additionally threads the cross-generation
+    :class:`~alphatpu.selfplay.EpisodeCarry` (every leaf leads with the
+    games axis, so ``P(AXIS)`` shards it like the buffer; its ``rng`` leaf
+    is the per-device ``keys`` array and is refreshed from ``keys`` each
+    call): ``(params, buffer, keys, carry) -> (buffer, stats, carry)``.
+    """
     D = mesh.devices.size
     assert cfg.num_games % D == 0, "num_games must divide the mesh size"
     local_cfg = cfg._replace(num_games=cfg.num_games // D)
-    selfplay = selfplay_continuous if cfg.continuous else selfplay_generation
+
+    if not cfg.continuous:
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P()),
+            check_vma=False,
+        )
+        def run(params, buffer, keys):
+            buffer, stats = selfplay_generation(
+                game, net_apply, params, buffer, keys[0], local_cfg
+            )
+            return buffer, _psum_stats(stats)
+
+        return run
 
     @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P()),
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(), P(AXIS)),
         check_vma=False,
     )
-    def run(params, buffer, keys):
-        buffer, stats = selfplay(
-            game, net_apply, params, buffer, keys[0], local_cfg
+    def run_cont(params, buffer, keys, carry):
+        buffer, stats, carry = selfplay_continuous(
+            game, net_apply, params, buffer, keys[0], local_cfg,
+            carry._replace(rng=keys[0]),
         )
-        return buffer, _psum_stats(stats)
+        return buffer, _psum_stats(stats), carry._replace(rng=keys)
 
-    return run
+    return run_cont
 
 
 def sharded_train_fn(game, cfg: TrainConfig, optimizer, mesh: Mesh):

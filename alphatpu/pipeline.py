@@ -109,6 +109,10 @@ class PipelineState:
     elo: float = -1000.0  # main4IARow.jl:127
     generation: int = 0
     best_generation: int = 0
+    # continuous mode: in-flight episodes persist across generations (zero
+    # dropped search compute).  None = start fresh; not checkpointed - a
+    # resume restarts lanes on fresh episodes (bounded one-generation loss).
+    sp_carry: Any = None
 
 
 def init_pipeline(game, cfg: PipelineConfig) -> PipelineState:
@@ -143,14 +147,28 @@ def run_generation(game, state: PipelineState, cfg: PipelineConfig):
 
     t0 = time.time()
     if D > 1:
-        state.buffer, sp_stats = sp_fn(
-            state.best_params, state.buffer, device_keys(k_sp, mesh)
+        if cfg.selfplay.continuous:
+            keys = device_keys(k_sp, mesh)
+            if state.sp_carry is None:
+                from .selfplay import make_carry
+
+                state.sp_carry = make_carry(
+                    game, cfg.selfplay.num_games, k_sp
+                )._replace(rng=keys)
+            state.buffer, sp_stats, state.sp_carry = sp_fn(
+                state.best_params, state.buffer, keys, state.sp_carry,
+            )
+        else:
+            state.buffer, sp_stats = sp_fn(
+                state.best_params, state.buffer, device_keys(k_sp, mesh)
+            )
+    elif cfg.selfplay.continuous:
+        state.buffer, sp_stats, state.sp_carry = _selfplay_cont_jit(
+            game, cfg.net_apply, state.best_params, state.buffer, k_sp,
+            cfg.selfplay, state.sp_carry,
         )
     else:
-        selfplay = (
-            _selfplay_cont_jit if cfg.selfplay.continuous else _selfplay_jit
-        )
-        state.buffer, sp_stats = selfplay(
+        state.buffer, sp_stats = _selfplay_jit(
             game, cfg.net_apply, state.best_params, state.buffer, k_sp,
             cfg.selfplay,
         )

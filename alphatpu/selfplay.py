@@ -20,6 +20,14 @@ this scan is bounded by ``max_moves`` (default: the game's
 ``maxLengthGame``) and the rare game still running at the bound (possible
 only for Reversi pass-chains) is excluded from the buffer and counted in
 ``stats['unfinished']``.
+
+Continuous mode additionally persists in-flight episodes across
+generations through :class:`EpisodeCarry` (positions + the episode's
+recorded samples + the PRNG stream), so the round bound drops **zero**
+search compute: samples of an episode spanning a generation boundary are
+back-filled and written as soon as the episode ends in a later generation.
+The reference achieves the same zero-loss property by looping until every
+game ends (mcts_gpu.jl:494-561); the carry is the fixed-shape equivalent.
 """
 from __future__ import annotations
 
@@ -56,6 +64,37 @@ def broadcast_initial(game, num_games: int):
     single = game.initial()
     return jax.tree.map(
         lambda leaf: jnp.broadcast_to(leaf, (num_games,) + leaf.shape), single
+    )
+
+
+class EpisodeCarry(NamedTuple):
+    """Cross-generation state of each lane's in-flight episode (continuous
+    mode).  All leaves lead with the games axis so ``P('dp')`` shards the
+    whole carry over a device mesh like the replay buffer.
+
+    ``rng`` continues the selfplay PRNG stream: a run of k generations with
+    a threaded carry draws the identical key sequence as one k-times-longer
+    generation, which is what makes the chained-vs-single equivalence test
+    exact (tests/test_selfplay.py)."""
+
+    positions: object  # game position pytree, leading G
+    count: jnp.ndarray  # i32[G] - moves already recorded this episode
+    enc: jnp.ndarray  # i8[G, L, 2*VS] - root encodings, rows [0, count)
+    pol: jnp.ndarray  # f32[G, L, A] - root policies
+    player: jnp.ndarray  # i8[G, L] - player to move
+    rng: jnp.ndarray  # PRNG key
+
+
+def make_carry(game, num_games: int, rng) -> EpisodeCarry:
+    """Fresh carry: all lanes start new episodes."""
+    L = game.max_game_length
+    return EpisodeCarry(
+        positions=broadcast_initial(game, num_games),
+        count=jnp.zeros((num_games,), jnp.int32),
+        enc=jnp.zeros((num_games, L, 2 * game.vectorized_state), jnp.int8),
+        pol=jnp.zeros((num_games, L, game.max_actions), jnp.float32),
+        player=jnp.zeros((num_games, L), jnp.int8),
+        rng=rng,
     )
 
 
@@ -190,7 +229,8 @@ def selfplay_generation(
 
 
 def selfplay_continuous(
-    game, net_apply, params, buffer: ReplayBuffer, rng, cfg: SelfplayConfig
+    game, net_apply, params, buffer: ReplayBuffer, rng, cfg: SelfplayConfig,
+    carry: EpisodeCarry | None = None,
 ):
     """Continuous selfplay: every lane that finishes a game is recycled into
     a fresh one on the next move round, so all ``num_games`` lanes stay at
@@ -210,19 +250,30 @@ def selfplay_continuous(
     episode's (result, final feature) into per-lane tables; after the scan
     every sample (t, g) looks up its episode row and computes
     ``value = (1 + result * player) / 2``, ``fstate = final_feature * player``
-    exactly as the reference back-fill (main4IARow.jl:65-75).  Samples of
-    episodes still running at the last round are dropped (counted in
-    ``stats['unfinished']``).
+    exactly as the reference back-fill (main4IARow.jl:65-75).
 
-    Returns (buffer, stats); ``stats['games_finished']`` counts completed
-    episodes.
+    ``carry`` (None = fresh start) persists in-flight episodes across calls:
+    episode 0 of each lane continues from ``carry.positions`` and, when it
+    terminates, the moves recorded in earlier generations (``carry.enc`` /
+    ``pol`` / ``player`` rows below ``carry.count``) are back-filled and
+    written together with this generation's samples, so nothing the search
+    paid for is ever dropped (the reference plays every game to completion
+    within the generation, mcts_gpu.jl:494-561 - same zero-loss property).
+    When a carry is given its ``rng`` continues the stream and the ``rng``
+    argument is ignored.
+
+    Returns (buffer, stats, carry'); ``stats['games_finished']`` counts
+    completed episodes, ``stats['carried']`` the in-flight rows handed to
+    the next generation (they will be written once their episodes end).
     """
     G = cfg.num_games
     T = cfg.rounds or 2 * game.max_game_length
     E = T // game.min_game_length + 2  # episode table rows per lane
-    positions0 = broadcast_initial(game, G)
+    L = game.max_game_length
+    if carry is None:
+        carry = make_carry(game, G, rng)
+    positions0 = carry.positions
     tree0 = init_tree(game, positions0, cfg.rollouts)
-    initial_single = game.initial()
 
     def move_body(carry, t):
         (positions, eid, ep_start, res_table, ftable, counters, illegal,
@@ -271,16 +322,16 @@ def selfplay_continuous(
     init = (
         positions0,
         jnp.zeros((G,), jnp.int32),  # eid
-        jnp.zeros((G,), jnp.int32),  # ep_start
+        -carry.count,  # ep_start: continuing episodes began count moves ago
         jnp.zeros((E, G), jnp.int8),  # res_table
         jnp.zeros((E, G, game.feature_size), jnp.int8),  # ftable
         counters0,
         jnp.int32(0),
         tree0,
-        rng,
+        carry.rng,
     )
-    (positions, eid_final, _, res_table, ftable, counters, illegal, _, _), \
-        outs = jax.lax.scan(move_body, init, jnp.arange(T))
+    (positions, eid_final, ep_start_f, res_table, ftable, counters, illegal,
+     _, rng_f), outs = jax.lax.scan(move_body, init, jnp.arange(T))
     enc_s, pol_s, player_s, eid_s = outs  # enc [T,G,in], pol [T,A,G]
     pol_s = jnp.moveaxis(pol_s, 1, 2)  # -> [T, G, A]
 
@@ -295,26 +346,81 @@ def selfplay_continuous(
     fstate_s = fstate_ep * player_s[:, :, None]  # [T, G, fsize] i8
     completed = eid_s < eid_final[None, :]  # episode finished before round T
 
+    # carried-in rows: they belong to episode 0 of this generation, finished
+    # iff any episode finished on that lane.  Back-fill exactly like in-gen
+    # rows, from episode-table row 0.
+    lio = jnp.arange(L)[None, :]  # [1, L]
+    pend_play_f = carry.player.astype(jnp.float32)  # [G, L]
+    pend_value = (1.0 + res_table[0].astype(jnp.float32)[:, None]
+                  * pend_play_f) / 2.0
+    pend_fstate = ftable[0][:, None, :] * carry.player[:, :, None]
+    pend_mask = (lio < carry.count[:, None]) & (eid_final > 0)[:, None]
+
     A = game.max_actions
+    # carried rows are older than this generation's: write them first
     buffer = write_samples(
         buffer,
-        enc_s.reshape(T * G, -1),
-        pol_s.reshape(T * G, A),
-        player_s.reshape(T * G),
-        value_s.reshape(T * G),
-        fstate_s.reshape(T * G, -1),
-        completed.reshape(T * G),
+        jnp.concatenate(
+            [carry.enc.reshape(G * L, -1), enc_s.reshape(T * G, -1)]),
+        jnp.concatenate(
+            [carry.pol.reshape(G * L, A), pol_s.reshape(T * G, A)]),
+        jnp.concatenate(
+            [carry.player.reshape(G * L), player_s.reshape(T * G)]),
+        jnp.concatenate(
+            [pend_value.reshape(G * L), value_s.reshape(T * G)]),
+        jnp.concatenate(
+            [pend_fstate.reshape(G * L, -1), fstate_s.reshape(T * G, -1)]),
+        jnp.concatenate(
+            [pend_mask.reshape(G * L), completed.reshape(T * G)]),
+    )
+
+    # next carry: rows of each lane's still-running episode.  s = round the
+    # running episode started at (negative: it began -s moves before this
+    # generation, i.e. it is the carried-in episode, still unfinished).
+    s = ep_start_f  # i32[G]
+    new_count = T - s
+    overflow = new_count > L  # episode outlived maxLengthGame: reset lane
+    src = jnp.clip(lio + s[:, None], 0, T - 1)  # [G, L] index into rounds
+    from_old = lio < -s[:, None]
+
+    def merge(old_GL, new_TG):  # [G, L, ...] <- [T, G, ...]
+        new_G = jnp.moveaxis(new_TG, 0, 1)  # [G, T, ...]
+        idx = src.reshape(src.shape + (1,) * (new_G.ndim - 2))
+        gathered = jnp.take_along_axis(new_G, idx, axis=1)
+        keep = from_old.reshape(from_old.shape + (1,) * (old_GL.ndim - 2))
+        return jnp.where(keep, old_GL, gathered)
+
+    new_count = jnp.where(overflow, 0, new_count)
+    new_positions = jax.tree.map(
+        lambda fresh, cur: jnp.where(
+            overflow.reshape((-1,) + (1,) * (cur.ndim - 1)), fresh, cur
+        ),
+        broadcast_initial(game, G),
+        positions,
+    )
+    new_carry = EpisodeCarry(
+        positions=new_positions,
+        count=new_count,
+        enc=merge(carry.enc, enc_s),
+        pol=merge(carry.pol, pol_s),
+        player=merge(carry.player, player_s),
+        rng=rng_f,
     )
 
     finished = eid_final.sum()
+    written = pend_mask.sum() + completed.sum()
     stats = {
         "wins": counters["wins"],
         "draws": counters["draws"],
         "losses": counters["losses"],
         "mean_length": counters["length_sum"] / jnp.maximum(finished, 1),
         "illegal_moves": illegal,
-        "unfinished": (~completed).sum(),  # dropped samples of running games
+        # rows DROPPED (episode outlived maxLengthGame - impossible for the
+        # shipped games, guarded for robustness); in-flight rows are carried,
+        # not dropped
+        "unfinished": jnp.where(overflow, T - s, 0).sum(),
+        "carried": new_count.sum(),
         "games_finished": finished,
-        "samples_written": completed.sum(),
+        "samples_written": written,
     }
-    return buffer, stats
+    return buffer, stats, new_carry

@@ -57,15 +57,28 @@ def test_sharded_continuous_selfplay(mesh):
                          rounds=T)
     buf = create_buffer(game, capacity=128 * D, shards=D)
     run = sharded_selfplay_fn(game, apply_inference, cfg, mesh)
-    buf, stats = run(params, buf, device_keys(jax.random.key(1), mesh))
+    keys = device_keys(jax.random.key(1), mesh)
+    from alphatpu.selfplay import make_carry
+
+    carry = make_carry(game, 2 * D, jax.random.key(2))._replace(rng=keys)
+    buf, stats, carry = run(params, buf, keys, carry)
     stats = {k: np.asarray(v) for k, v in stats.items()}
     assert stats["illegal_moves"] == 0
     finished = stats["wins"] + stats["draws"] + stats["losses"]
     assert finished == stats["games_finished"]
     assert finished >= 2 * D  # >= one episode per lane in 16 rounds
-    assert stats["samples_written"] + stats["unfinished"] == T * 2 * D
+    assert stats["unfinished"] == 0  # in-flight rows carry, never drop
+    assert stats["samples_written"] + stats["carried"] == T * 2 * D
+    assert int(np.asarray(carry.count).sum()) == stats["carried"]
     assert int(np.asarray(global_buffer_size(buf))) == stats["samples_written"]
     assert (np.asarray(buf.total) > 0).all()
+    # a second chained generation flushes the carried rows
+    buf, stats2, carry = run(params, buf, keys, carry)
+    stats2 = {k: np.asarray(v) for k, v in stats2.items()}
+    assert stats2["unfinished"] == 0
+    assert int(np.asarray(global_buffer_size(buf))) == (
+        stats["samples_written"] + stats2["samples_written"]
+    )
 
 
 def test_sharded_train_matches_single_device(mesh):

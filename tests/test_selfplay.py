@@ -101,7 +101,7 @@ def test_selfplay_continuous_invariants():
 
     from alphatpu.selfplay import selfplay_continuous
 
-    buf, stats = jax.jit(selfplay_continuous, static_argnums=(0, 1, 5))(
+    buf, stats, carry = jax.jit(selfplay_continuous, static_argnums=(0, 1, 5))(
         game, apply_inference, params, buf, jax.random.key(1), cfg
     )
     stats = {k: np.asarray(v) for k, v in stats.items()}
@@ -112,9 +112,12 @@ def test_selfplay_continuous_invariants():
     # 8 lanes x 24 rounds, TTT episodes last 5..9 plies -> >= 2 per lane
     assert stats["games_finished"] >= 16
     assert 4 <= stats["mean_length"] <= 8
-    # every round of every lane produced a sample; only tail episodes drop
-    assert stats["samples_written"] + stats["unfinished"] == T * 8
-    assert stats["unfinished"] < 9 * 8  # at most one running episode per lane
+    # every round of every lane produced a sample; tail episodes are carried
+    assert stats["unfinished"] == 0  # nothing is dropped anymore
+    assert stats["samples_written"] + stats["carried"] == T * 8
+    assert stats["carried"] < 9 * 8  # at most one running episode per lane
+    np.testing.assert_array_equal(np.asarray(carry.count).sum(),
+                                  stats["carried"])
 
     n = int(buffer_size(buf))
     assert n == int(stats["samples_written"])
@@ -149,3 +152,62 @@ def test_selfplay_reversi_pass_games():
     assert stats["illegal_moves"] == 0
     assert stats["wins"] + stats["draws"] + stats["losses"] + stats["unfinished"] == 8
     assert stats["unfinished"] <= 1  # pass-chain truncation is rare
+
+
+def test_episode_carry_chained_equals_single():
+    """Persisting in-flight episodes across generations loses nothing: two
+    chained 12-round generations (threading the EpisodeCarry, whose rng
+    continues the stream) write the exact same sample multiset as one
+    24-round generation, and drop zero rows."""
+    from alphatpu.selfplay import make_carry, selfplay_continuous
+
+    game = make_game("tictactoe")
+    params = init_params(
+        jax.random.key(0), config_for_game(game, width=32, depth=2)
+    )
+    G = 8
+    run = jax.jit(selfplay_continuous, static_argnums=(0, 1, 5))
+
+    def play(rounds_list):
+        buf = create_buffer(game, capacity=512)
+        carry = make_carry(game, G, jax.random.key(7))
+        tot = {"samples_written": 0, "games_finished": 0}
+        for T in rounds_list:
+            cfg = SelfplayConfig(num_games=G, rollouts=16, cpuct=1.5,
+                                 continuous=True, rounds=T)
+            buf, stats, carry = run(
+                game, apply_inference, params, buf, jax.random.key(99), cfg,
+                carry,
+            )
+            assert int(stats["unfinished"]) == 0
+            for k in tot:
+                tot[k] += int(stats[k])
+        return buf, carry, tot
+
+    buf1, carry1, tot1 = play([24])
+    buf2, carry2, tot2 = play([12, 12])
+
+    assert tot1 == tot2
+    n1, n2 = int(buffer_size(buf1)), int(buffer_size(buf2))
+    assert n1 == n2 == tot1["samples_written"]
+
+    def rows(buf, n):
+        m = np.concatenate(
+            [np.asarray(buf.state[:n], np.float32),
+             np.asarray(buf.policy[:n]),
+             np.asarray(buf.player[:n], np.float32)[:, None],
+             np.asarray(buf.value[:n])[:, None],
+             np.asarray(buf.fstate[:n], np.float32)],
+            axis=1,
+        )
+        return m[np.lexsort(m.T)]
+
+    # write ORDER differs at the boundary (carried rows flush later), the
+    # sample multiset must be bit-identical
+    np.testing.assert_array_equal(rows(buf1, n1), rows(buf2, n2))
+    # and both schedules end in the same in-flight state
+    np.testing.assert_array_equal(np.asarray(carry1.count),
+                                  np.asarray(carry2.count))
+    for a, b in zip(jax.tree.leaves(carry1.positions),
+                    jax.tree.leaves(carry2.positions)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
