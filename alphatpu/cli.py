@@ -90,6 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "launcher and pass --devices 0 to span the full "
                         "slice (ICI/DCN collectives handled uniformly by "
                         "GSPMD)")
+    p.add_argument("--coordinator", default=None,
+                   help="with --multihost: coordinator address host:port "
+                        "(default: auto-detect from the cluster environment)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="with --multihost: total process count (default: "
+                        "auto-detect)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="with --multihost: this process's rank (default: "
+                        "auto-detect)")
     p.add_argument("--stats-file", default=None,
                    help="append per-generation stats as JSON lines")
     p.add_argument("--profile-dir", default=None,
@@ -164,7 +173,11 @@ def main(argv=None) -> int:
     import jax
 
     if args.multihost:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from .games import make_game
     from .pipeline import init_pipeline, run_generation
