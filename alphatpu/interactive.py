@@ -64,13 +64,17 @@ def parse_move(game, text: str) -> int | None:
 
 
 def make_engine(game, net_apply, rollouts: int, cpuct: float):
-    """One-game jitted move chooser (argmax of the root policy)."""
+    """One-game jitted move chooser (argmax of the root policy).
+
+    The node pool is allocated ONCE per session (first call) and re-passed
+    every move; the per-move jit only ``reset_tree``-zeroes it - no
+    in-graph ``init_tree`` allocation, no double zeroing.  First-move
+    latency = one compile + one pool alloc; later moves reuse both."""
     from .mcts.search import run_mcts
     from .mcts.tree import init_tree, reset_tree
 
-    def choose(params, pos, key):
+    def choose_impl(params, pos, key, tree):
         positions = jax.tree.map(lambda l: l[None], pos)
-        tree = init_tree(game, positions, rollouts)
         tree = reset_tree(tree, positions)
         tree, pol = run_mcts(
             game, net_apply, params, tree, key,
@@ -79,7 +83,16 @@ def make_engine(game, net_apply, rollouts: int, cpuct: float):
         pi = pol[:, 0]  # root policy is [A, G] games-minor; G = 1 here
         return jnp.argmax(pi), pi
 
-    return jax.jit(choose)
+    jitted = jax.jit(choose_impl)
+    pool = []
+
+    def choose(params, pos, key):
+        if not pool:
+            positions = jax.tree.map(lambda l: l[None], pos)
+            pool.append(init_tree(game, positions, rollouts))
+        return jitted(params, pos, key, pool[0])
+
+    return choose
 
 
 def main(argv=None) -> int:
