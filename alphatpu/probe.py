@@ -326,9 +326,128 @@ class ReversiProbe:
         return int(cands[rng.integers(len(cands))])
 
 
+# ---------------------------------------------------------------------------
+# Hex
+# ---------------------------------------------------------------------------
+
+
+class HexProbe:
+    """Depth-2 minimax over a shortest-connection-path eval for NxN Hex.
+
+    The classic scripted Hex baseline: each side's *potential* is the
+    minimum number of empty cells it still needs to claim to connect its
+    two edges (Bellman-Ford over the hex adjacency with cost 0 on own
+    stones, 1 on empty, inf on opponent stones; potential 0 = won).  Eval =
+    opponent potential - my potential, so the engine both extends its own
+    best chain and blocks the opponent's.  All depth-2 leaves (my move a x
+    opponent reply b) are evaluated in one vectorized batch, making full
+    minimax over ~n^4 leaves cheap; immediate wins / losses short-circuit
+    at the WIN scale like the other probes.
+
+    Geometry matches games/hex.py (reference Hex.jl): planes come in the
+    embedded (N+1)x(N+1) layout (plane index = row + (N+1)*col) where
+    logical action a = x*n + y sits at (row y+1, col x+1).  The side owning
+    the col-0 border (plane bit 2) connects along x (left-right); the other
+    connects along y (top-bottom).  Hex neighbours of (x, y): (x+-1, y),
+    (x, y+-1), (x+1, y-1), (x-1, y+1).
+    """
+
+    def __init__(self, n: int, depth: int = 2):
+        assert depth in (1, 2)
+        self.n, self.depth = n, depth
+        m = n + 1
+        # embedded plane index of logical cell (x, y), cell-index order a=x*n+y
+        xs, ys = np.divmod(np.arange(n * n), n)
+        self._plane_idx = (ys + 1) + m * (xs + 1)
+        # 6 hex-neighbour offsets in (dx, dy)
+        self._nbrs = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+
+    def from_planes(self, mover, other):
+        """-> (me [n,n] bool, op [n,n] bool, me_axis 0|1): logical stone
+        grids indexed [x, y] plus the axis the mover connects (0 = x)."""
+        mover = np.asarray(mover, bool)
+        other = np.asarray(other, bool)
+        me = mover[self._plane_idx].reshape(self.n, self.n)
+        op = other[self._plane_idx].reshape(self.n, self.n)
+        me_axis = 0 if mover[2] else 1  # col-0 border bit -> x-connector
+        return me, op, me_axis
+
+    def _potential(self, me, op, axis):
+        """Batched shortest-path potential: me/op are bool [B, n, n] (axis 0
+        = x).  Returns f32[B] - empty cells still needed to connect, 0 if
+        connected, INF if impossible."""
+        n = self.n
+        INF = np.float32(1e9)
+        cost = np.where(op, INF, np.where(me, 0.0, 1.0)).astype(np.float32)
+        if axis == 1:  # connect along y: transpose to reuse the x sweep
+            cost = np.swapaxes(cost, 1, 2)
+        dist = np.full(cost.shape, INF, np.float32)
+        dist[:, 0, :] = cost[:, 0, :]  # enter from the x=0 edge
+        for _ in range(2 * n):
+            best = dist
+            for dx, dy in self._nbrs:
+                sl = np.full_like(dist, INF)
+                xs_src = slice(max(0, -dx), n - max(0, dx))
+                xs_dst = slice(max(0, dx), n - max(0, -dx))
+                ys_src = slice(max(0, -dy), n - max(0, dy))
+                ys_dst = slice(max(0, dy), n - max(0, -dy))
+                sl[:, xs_dst, ys_dst] = dist[:, xs_src, ys_src]
+                best = np.minimum(best, sl + cost)
+            if np.array_equal(best, dist):
+                break
+            dist = best
+        return dist[:, n - 1, :].min(axis=1)
+
+    def _eval(self, me, op, me_axis):
+        """Batched eval from the mover's perspective: [B]."""
+        d_me = self._potential(me, op, me_axis)
+        d_op = self._potential(op, me, 1 - me_axis)
+        return d_op - d_me
+
+    def best_action(self, mover, other, rng: np.random.Generator) -> int:
+        n = self.n
+        me, op, me_axis = self.from_planes(mover, other)
+        empty = ~(me | op)
+        acts = np.flatnonzero(empty.reshape(-1))  # a = x*n + y order
+        if len(acts) == 0:
+            return 0
+
+        # my-move boards [A, n, n]
+        A = len(acts)
+        me_a = np.broadcast_to(me, (A, n, n)).copy()
+        me_a.reshape(A, -1)[np.arange(A), acts] = True
+        d_me = self._potential(me_a, np.broadcast_to(op, (A, n, n)), me_axis)
+        if (d_me == 0).any():  # immediate win
+            cands = acts[d_me == 0]
+            return int(cands[rng.integers(len(cands))])
+        if self.depth == 1:
+            score = self._potential(
+                np.broadcast_to(op, (A, n, n)), me_a, 1 - me_axis) - d_me
+        else:
+            # opponent replies: pairs (a, b) with b any remaining empty cell
+            rem = [np.setdiff1d(acts, [a]) for a in acts]
+            B = len(acts) - 1
+            if B == 0:
+                score = -d_me
+            else:
+                pair_me = np.repeat(me_a, B, axis=0)  # [A*B, n, n]
+                pair_op = np.broadcast_to(op, (A * B, n, n)).copy()
+                flat_b = np.concatenate(rem)
+                pair_op.reshape(A * B, -1)[np.arange(A * B), flat_b] = True
+                # leaf score from MY perspective
+                leaf = -self._eval(pair_op, pair_me, 1 - me_axis)
+                d_op_win = self._potential(pair_op, pair_me, 1 - me_axis)
+                leaf = np.where(d_op_win == 0, -WIN, leaf)
+                score = leaf.reshape(A, B).min(axis=1)  # opp minimizes
+        best = score.max()
+        cands = acts[score == best]
+        return int(cands[rng.integers(len(cands))])
+
+
 def probe_for_game(game, depth: int | None = None):
-    """A probe engine for `game` (Gobang/TicTacToe, Connect-4, Reversi;
-    Hex has no useful shallow alpha-beta and raises)."""
+    """A probe engine for `game`: Gobang/TicTacToe, Connect-4, Reversi
+    (alpha-beta) and Hex (vectorized minimax over a shortest-connection
+    eval)."""
     name = game.name
     if name == "connect4":
         return LineProbe(6, 7, 4, depth or 8, gravity=True)
@@ -338,6 +457,8 @@ def probe_for_game(game, depth: int | None = None):
         return LineProbe(game.n, game.n, game.nvict, depth or 3)
     if name.startswith("reversi"):
         return ReversiProbe(game.size, depth or 4)
+    if name.startswith("hex"):
+        return HexProbe(game.n, depth or 2)
     raise ValueError(f"no probe engine for {name}")
 
 

@@ -189,3 +189,87 @@ def test_probe_for_game_mapping():
     assert probe_for_game(make_game("reversi6x6")).size == 6
     g8 = probe_for_game(make_game("gobang8"))
     assert (g8.rows, g8.nvict) == (8, 5)
+
+
+def test_hex_probe_tactics_and_geometry():
+    """HexProbe: immediate-win detection, potential function values, and
+    plane decoding against the framework game's embedded layout."""
+    from alphatpu.probe import HexProbe
+
+    n, m = 5, 6
+    p = HexProbe(n)
+    rng = np.random.default_rng(0)
+
+    # empty-board potentials: each side needs n cells
+    empty = np.zeros((1, n, n), bool)
+    assert p._potential(empty, empty, 0)[0] == n
+    assert p._potential(empty, empty, 1)[0] == n
+
+    # x-connector one cell from winning takes it (chain x=0..3 at y=2)
+    mover = np.zeros(m * m, bool)
+    other = np.zeros(m * m, bool)
+    mover[2:m] = True  # col-0 border
+    for c in range(2, m):
+        other[m * c] = True  # row-0 border
+    for x in range(4):
+        mover[(2 + 1) + m * (x + 1)] = True
+    me, op, ax = p.from_planes(mover, other)
+    assert ax == 0 and me.sum() == 4 and op.sum() == 0
+    assert p._potential(me[None], op[None], 0)[0] == 1
+    assert p.best_action(mover, other, rng) == 4 * n + 2
+
+    # geometry cross-check vs the real game: encode after scripted moves
+    game = make_game("hex5")
+    pos = game.initial()
+    moves = [12, 7, 13]  # first mover takes 12, 13; second takes 7
+    for a in moves:
+        pos = jax.tree.map(lambda x: x, game.play(pos, a))
+    enc = np.asarray(jax.jit(game.encode)(pos))
+    V = game.vectorized_state
+    me2, op2, ax2 = p.from_planes(enc[:V] > 0, enc[V:] > 0)
+    # after 3 plies the second mover is to move: owns row-0 border (y axis)
+    assert ax2 == 1
+    assert me2[7 // n, 7 % n] and op2[12 // n, 12 % n] and op2[13 // n, 13 % n]
+    assert me2.sum() == 1 and op2.sum() == 2
+
+
+def test_hex_probe_beats_random():
+    """Depth-2 HexProbe vs uniform random on the real hex5 game, both
+    colors; random should essentially never connect first."""
+    from alphatpu.probe import HexProbe
+
+    game = make_game("hex5")
+    p = HexProbe(5)
+    rng = np.random.default_rng(3)
+    play = jax.jit(game.play)
+    is_over = jax.jit(game.is_over)
+    encode = jax.jit(game.encode)
+    legal = jax.jit(game.legal_mask)
+    V = game.vectorized_state
+
+    score = 0
+    for g in range(4):
+        pos = game.initial()
+        probe_first = g % 2 == 0
+        for t in range(game.max_game_length):
+            over, res = (np.asarray(x) for x in is_over(pos))
+            if over:
+                break
+            if (t % 2 == 0) == probe_first:
+                enc = np.asarray(encode(pos))
+                a = p.best_action(enc[:V] > 0, enc[V:] > 0, rng)
+            else:
+                lm = np.asarray(legal(pos))
+                a = int(rng.choice(np.flatnonzero(lm)))
+            pos = play(pos, int(a))
+        over, res = (np.asarray(x) for x in is_over(pos))
+        assert over  # hex cannot draw
+        score += int(res) * (1 if probe_first else -1)
+    assert score == 4, f"hex probe should always beat random (score {score})"
+
+
+def test_hex_probe_for_game():
+    from alphatpu.probe import HexProbe
+
+    hp = probe_for_game(make_game("hex7"))
+    assert isinstance(hp, HexProbe) and hp.n == 7 and hp.depth == 2
