@@ -304,16 +304,25 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
     alloc_out[:] = needs_alloc.astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("cpuct", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cpuct", "interpret", "vseg"))
 def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float,
-                  interpret: bool = False):
+                  interpret: bool = False, vseg: int | None = None):
     """(path_nodes, path_actions, node, leaf_action, needs_alloc, root_pi):
     the per-rollout selection walk in one kernel.  probs: f32[D, G].
+
+    ``vseg`` (a multiple of 8 <= V) bounds the node rows the kernel streams
+    from HBM to the first ``vseg``: node ids are allocation-ordered (<= 1
+    alloc per rollout), so rollout r only ever reads rows <= r - the
+    segmented rollout loop in search.run_mcts exploits this to cut the
+    dominant HBM stream of early rollouts (the tree "grows" through
+    kernel-visible segments while living in one fixed allocation).
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (any
     backend) - the CI parity path (tests/test_pallas.py)."""
     A, V, G = prior.shape
     D = probs.shape[0]
+    Vb = vseg or V
+    assert Vb % 8 == 0 and Vb <= V
     Gb = games_block(A, V, G)
     assert G % Gb == 0
     grid = (G // Gb,)
@@ -324,8 +333,8 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float,
     def vg(i):
         return (0, i)
 
-    stat_spec = pl.BlockSpec((A, V, Gb), avg, memory_space=pltpu.VMEM)
-    vg_spec = pl.BlockSpec((V, Gb), vg, memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((A, Vb, Gb), avg, memory_space=pltpu.VMEM)
+    vg_spec = pl.BlockSpec((Vb, Gb), vg, memory_space=pltpu.VMEM)
     dg_spec = pl.BlockSpec((D, Gb), vg, memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, Gb), vg, memory_space=pltpu.VMEM)
     ag_spec = pl.BlockSpec((A, Gb), vg, memory_space=pltpu.VMEM)
@@ -409,16 +418,23 @@ def _backup_kernel(nodes_ref, actions_ref, length_ref, value_ref,
     jax.lax.fori_loop(0, max_len, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "vseg"))
 def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
-                  leaf_value, interpret: bool = False):
+                  leaf_value, interpret: bool = False,
+                  vseg: int | None = None):
     """(wsum', visits'): all path-edge updates in one VMEM pass.
 
     wsum/visits [A, V, G] f32; path_nodes/actions [D, G] i32 (node -1 =
     nothing recorded); path_length [G] i32; leaf_value [G] f32.
+
+    ``vseg`` bounds the streamed node rows like in :func:`select_pallas`;
+    rows >= vseg pass through untouched via the input/output aliasing (the
+    kernel never visits those blocks, so the aliased buffer keeps them).
     """
     A, V, G = wsum.shape
     D = path_nodes.shape[0]
+    Vb = vseg or V
+    assert Vb % 8 == 0 and Vb <= V
     Gb = games_block(A, V, G)
     grid = (G // Gb,)
 
@@ -428,7 +444,7 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
     def vg(i):
         return (0, i)
 
-    stat_spec = pl.BlockSpec((A, V, Gb), avg, memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((A, Vb, Gb), avg, memory_space=pltpu.VMEM)
     dg_spec = pl.BlockSpec((D, Gb), vg, memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, Gb), vg, memory_space=pltpu.VMEM)
 

@@ -42,6 +42,7 @@ the numerical reference and the CPU fallback.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -151,21 +152,23 @@ def descend(game, tree: Tree, probs, cpuct):
     return path, node, leaf_action, needs_alloc, root_pi
 
 
-def select(game, tree: Tree, probs, cpuct):
+def select(game, tree: Tree, probs, cpuct, vseg: int | None = None):
     """One rollout's selection walk: returns
     ``(path, node, leaf_action, needs_alloc, root_pi)``.
 
     On TPU with lane-aligned shapes the walk (with its per-depth Newton
     solves) runs as ONE VMEM-resident Pallas kernel - one HBM read of the
     stats per rollout; elsewhere the jnp :func:`descend` runs, which is the
-    numerical reference."""
+    numerical reference.  ``vseg`` bounds the kernel's streamed node rows
+    (see run_mcts's segmented rollout loop); the jnp path ignores it (rows
+    past the live span hold zeros that the walk never consumes)."""
     from .pallas_kernels import select_pallas, select_supported
 
     if select_supported(tree.num_games, tree.num_nodes, tree.num_actions):
         pnodes, pactions, node, leaf_action, needs_alloc, root_pi = (
             select_pallas(
                 tree.prior, tree.wsum, tree.visits, tree.child,
-                tree.expanded, probs, float(cpuct),
+                tree.expanded, probs, float(cpuct), vseg=vseg,
             )
         )
         path = Path(pnodes, pactions, (pnodes >= 0).sum(0).astype(jnp.int32))
@@ -247,7 +250,8 @@ def expand(game, tree: Tree, node, leaf_action, needs_alloc, leaf_states,
     return tree, leaf, done, result
 
 
-def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result):
+def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result,
+           vseg: int | None = None):
     """Update every edge on the recorded path: per edge value-sum +=
     parity-flipped leaf value, visits += 1 (backUp, mcts_gpu.jl:306-328).
     The edge at depth d (leaf edge = depth len-1) receives
@@ -271,7 +275,7 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result):
     if select_supported(tree.num_games, tree.num_nodes, tree.num_actions):
         wsum, visits = backup_pallas(
             tree.wsum, tree.visits,
-            path.nodes, path.actions, path.length, leaf_value,
+            path.nodes, path.actions, path.length, leaf_value, vseg=vseg,
         )
         return tree._replace(wsum=wsum, visits=visits)
 
@@ -313,6 +317,7 @@ def run_mcts(
     training: bool,
     probs=None,
     final_root_policy: bool = False,
+    segment_rollouts: bool = True,
 ):
     """One full search over all games for the current move: ``rollouts`` x
     (select -> batched NN forward -> expand -> backup) as a lax.scan (the
@@ -331,6 +336,7 @@ def run_mcts(
     """
     G = tree.num_games
     A = tree.num_actions
+    V = tree.num_nodes
     depth_cap = min(game.max_game_length, tree.num_nodes)
     if probs is None:
         keys = jax.random.split(rng, rollouts)
@@ -340,12 +346,12 @@ def run_mcts(
         xs = probs
         get_probs = lambda p: p
 
-    def body(carry, x):
+    def body(carry, x, vseg=None):
         tree, _ = carry
         p = get_probs(x)
         root_was_expanded = tree.expanded[0]  # [G]
         path, node, leaf_action, needs_alloc, root_pi = select(
-            game, tree, p, cpuct
+            game, tree, p, cpuct, vseg=vseg
         )
         leaf_states = leaf_positions(game, tree, node, leaf_action, needs_alloc)
         enc = jax.vmap(game.encode)(leaf_states)  # [G, in] - batch-major
@@ -363,13 +369,33 @@ def run_mcts(
             root_was_expanded[None, :], root_pi, tree.prior[:, 0]
         )
         tree = backup(
-            tree, path, leaf_states.player, v, done, result
+            tree, path, leaf_states.player, v, done, result, vseg=vseg
         )
         return (tree, root_pi), None
 
-    (tree, root_pi), _ = jax.lax.scan(
-        body, (tree, jnp.zeros((A, G), jnp.float32)), xs
-    )
+    # Segmented rollout loop: node ids are allocation-ordered (root = 0,
+    # <= 1 new node per rollout), so rollout r only touches stat rows
+    # <= r.  Running the early rollouts with the kernels' streamed node
+    # span capped at V/4 then V/2 cuts the dominant HBM stream ~30% per
+    # move at zero math change.  Requires a freshly reset tree (every
+    # production caller resets before searching); pass
+    # ``segment_rollouts=False`` to search a pre-grown tree.
+    carry = (tree, jnp.zeros((A, G), jnp.float32))
+    if (
+        segment_rollouts
+        and V % 32 == 0
+        and rollouts == V
+        and probs is None
+    ):
+        bounds = (V // 4, V // 2, V)
+        r0 = 0
+        for vseg in bounds:
+            seg_body = functools.partial(body, vseg=vseg)
+            carry, _ = jax.lax.scan(seg_body, carry, xs[r0:vseg])
+            r0 = vseg
+    else:
+        carry, _ = jax.lax.scan(body, carry, xs)
+    tree, root_pi = carry
     if final_root_policy:
         root_pi = node_policy(
             tree.prior[:, 0, :], tree.wsum[:, 0, :], tree.visits[:, 0, :],

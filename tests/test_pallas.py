@@ -106,3 +106,56 @@ def test_backup_kernel_matches_jnp(game_name, G, V):
         np.asarray(k_wsum), np.asarray(ref.wsum), rtol=1e-6, atol=1e-7
     )
     np.testing.assert_array_equal(np.asarray(k_visits), np.asarray(ref.visits))
+
+
+@pytest.mark.parametrize("game_name,G,V,vseg", [
+    ("tictactoe", 256, 16, 8),
+    ("hex5", 128, 64, 16),
+])
+def test_vseg_kernels_match_full(game_name, G, V, vseg):
+    """Segmented node-span kernels == full-span kernels when the tree's
+    live span fits the segment: grow only vseg-2 nodes, then compare
+    select and backup outputs at vseg vs full V (incl. preservation of the
+    untouched rows >= vseg through backup's aliasing)."""
+    game, tree = _grown_tree(game_name, G, vseg)  # live ids < vseg - 1
+    # re-house the grown stats in a V-node pool (rows >= vseg are zeros)
+    if V > vseg:
+        pad = [(0, 0), (0, V - vseg), (0, 0)]
+        tree = tree._replace(
+            prior=jnp.pad(tree.prior, pad),
+            wsum=jnp.pad(tree.wsum, pad),
+            visits=jnp.pad(tree.visits, pad),
+            child=jnp.pad(tree.child, pad),
+            expanded=jnp.pad(tree.expanded, [(0, V - vseg), (0, 0)]),
+            states=jax.tree.map(
+                lambda s: jnp.pad(
+                    s, [(0, 0), (0, V - vseg)] + [(0, 0)] * (s.ndim - 2)
+                ),
+                tree.states,
+            ),
+        )
+    D = min(game.max_game_length, vseg)
+    probs = jax.random.uniform(jax.random.key(42), (D, G))
+
+    full = select_pallas(tree.prior, tree.wsum, tree.visits, tree.child,
+                         tree.expanded, probs, CPUCT, interpret=True)
+    seg = select_pallas(tree.prior, tree.wsum, tree.visits, tree.child,
+                        tree.expanded, probs, CPUCT, interpret=True,
+                        vseg=vseg)
+    for a, b in zip(full, seg):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    nodes, actions = full[0], full[1]
+    length = (nodes >= 0).sum(0).astype(jnp.int32)
+    leaf_value = jax.random.uniform(jax.random.key(8), (G,))
+    # poison the rows >= vseg to prove they pass through backup untouched
+    poison_w = tree.wsum.at[:, vseg:, :].set(7.25)
+    poison_v = tree.visits.at[:, vseg:, :].set(3.0)
+    w_full, v_full = backup_pallas(poison_w, poison_v, nodes, actions,
+                                   length, leaf_value, interpret=True)
+    w_seg, v_seg = backup_pallas(poison_w, poison_v, nodes, actions,
+                                 length, leaf_value, interpret=True,
+                                 vseg=vseg)
+    np.testing.assert_array_equal(np.asarray(w_seg), np.asarray(w_full))
+    np.testing.assert_array_equal(np.asarray(v_seg), np.asarray(v_full))
+    np.testing.assert_array_equal(np.asarray(w_seg[:, vseg:, :]), 7.25)
