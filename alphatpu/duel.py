@@ -43,16 +43,17 @@ def duel_half(game, net_apply, params_first, params_second, rng,
     T = cfg.max_moves or game.max_game_length
     positions0 = broadcast_initial(game, G)
     tree0 = init_tree(game, positions0, cfg.rollouts)
+    # both nets stacked on a leading axis: per round one dynamic slice
+    # copies a single net instead of where-blending both full pytrees
+    params_pair = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]), params_first, params_second
+    )
 
     def move_body(carry, t):
         positions, done, result, tree, rng = carry
         rng, k_mcts, k_samp = jax.random.split(rng, 3)
         # actor by round parity (mcts_gpu.jl:592-596)
-        use_first = (t % 2) == 0
-        params_t = jax.tree.map(
-            lambda a, b: jnp.where(use_first, a, b), params_first,
-            params_second,
-        )
+        params_t = jax.tree.map(lambda s: s[t % 2], params_pair)
         tree = reset_tree(tree, positions)
         tree, pol = run_mcts(
             game, net_apply, params_t, tree, k_mcts,
