@@ -1,19 +1,24 @@
 """Pallas TPU kernels for the MCTS hot paths.
 
-Two kernels cover the whole per-rollout tree work:
+The production rollout loop runs ONE fused kernel per rollout
+(**select_apply**): it applies the previous rollout's deferred stat writes
+- the backup's per-edge (value-sum, visits) adds and the expanded leaf's
+prior row - to the VMEM-resident stat blocks, writes the blocks back out
+through input/output aliasing, and then runs this rollout's root-to-leaf
+selection walk on the updated blocks.  Per rollout the [A, V, G] stats
+cross HBM exactly once in and once out; there is no stored child table at
+all (child ids are derived from the per-node parent/action_from scalars),
+no policy cache, and no separate backup pass.  Standalone pieces remain
+for the flush and for tests/benchmarks:
 
-* **select** fuses the regularized-policy Newton solve - the reference's
-  stated bottleneck (README.md:81; kdescendTree!, mcts_gpu.jl:114-169) -
-  with the root-to-leaf walk.  The policy is computed *on the fly* per
-  depth step from the gathered (prior, value-sum, visits) rows of the
-  current node, so no policy cache exists at all (see search.py for the
-  exact-equivalence argument).  The jnp pipeline streams the [A, V, G]
-  stats from HBM once per depth step; here the whole walk costs one HBM
-  read of the stats per rollout.
-* **backup** applies every recorded path edge's (value-sum, visits)
-  multiply-add with the stat blocks VMEM-resident (backUp,
-  mcts_gpu.jl:306-328) - one HBM read + write per rollout regardless of
-  path length.
+* **select** - the walk alone (read-only), fusing the regularized-policy
+  Newton solve - the reference's stated bottleneck (README.md:81;
+  kdescendTree!, mcts_gpu.jl:114-169) - with the descent.  The policy is
+  computed *on the fly* per depth step from the gathered (prior,
+  value-sum, visits) rows of the current node (see search.py for the
+  exact-equivalence argument).
+* **backup** - the per-edge adds alone (backUp, mcts_gpu.jl:306-328),
+  used to flush the last rollout's pending update after the scan.
 
 The Newton solve and the CDF sampling walk are vectorized over the action
 axis ([A, Gb] tiles; prefix sums via sublane rolls), so the math's
@@ -106,6 +111,11 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
     for Mosaic temporaries."""
     if os.environ.get("ALPHATPU_NO_KERNELS"):  # debug: force the jnp path
         return False
+    if os.environ.get("ALPHATPU_FORCE_INTERPRET"):
+        # CI hook: run the kernel path through the Pallas interpreter on
+        # any backend (tests/test_pallas.py full-pipeline parity)
+        return num_games % games_block(num_actions, num_nodes,
+                                       num_games) == 0 and num_nodes % 8 == 0
     backend = jax.default_backend()
     gb = games_block(num_actions, num_nodes, num_games)
     block_bytes = num_actions * num_nodes * gb * 4
@@ -189,17 +199,27 @@ def _cdf_sample_2d(PI, prob, aio, num_actions):
     return jnp.where(first < A, first, last_pos)  # [1, Gb] i32
 
 
-def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
-                   probs_ref,
-                   nodes_out, actions_out, leaf_out, laction_out, alloc_out,
-                   rootpi_out, p_scr, w_scr, v_scr, c_scr,
-                   *, cpuct, num_actions, max_depth):
+def _walk(prior_ref, wsum_ref, visits_ref, parent_ref, af_ref,
+          expanded_ref, probs_ref,
+          nodes_out, actions_out, leaf_out, laction_out, alloc_out,
+          rootpi_out, p_scr, w_scr, v_scr,
+          *, cpuct, num_actions, max_depth):
+    """The root-to-leaf selection walk over VMEM-resident stat refs (shared
+    by the read-only select kernel and the fused apply+select kernel, whose
+    apply phase mutates the refs before this runs)."""
     A = num_actions
     V = prior_ref.shape[1]
     Gb = prior_ref.shape[2]
     aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
+    vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
+    viof = vio.astype(jnp.float32)
     nodes_out[:] = jnp.full((max_depth, Gb), -1, jnp.int32)
     actions_out[:] = jnp.zeros((max_depth, Gb), jnp.int32)
+    # loop-invariant [V, Gb] planes: expand/backup run outside this kernel,
+    # so within one rollout these never change
+    expanded = expanded_ref[:]  # f32 {0,1}
+    parent = parent_ref[:]  # i32, -1 = unallocated slot
+    action_from = af_ref[:]  # i32
 
     def cond(st):
         d, node, found, leaf_action, needs_alloc = st
@@ -207,16 +227,13 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
 
     if _narrow(A):
         # keep per-action slices live in registers (fast at tiny A)
-        vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
-        expanded = expanded_ref[:]  # [V, Gb] f32 {0,1}
         prior_s = [prior_ref[a] for a in range(A)]
         wsum_s = [wsum_ref[a] for a in range(A)]
         visits_s = [visits_ref[a] for a in range(A)]
-        child_s = [child_ref[a] for a in range(A)]
 
         def gather_rows(node, found):
             """Stat rows of each lane's node: [1, Gb] expanded plus
-            ([A, Gb] prior, value-sum, visits, child)."""
+            ([A, Gb] prior, value-sum, visits)."""
             oh = (vio == node).astype(jnp.float32)  # [V, Gb]
             exp = jnp.sum(expanded * oh, axis=0, keepdims=True)
             P = jnp.concatenate(
@@ -228,12 +245,8 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
             Vv = jnp.concatenate(
                 [jnp.sum(visits_s[a] * oh, axis=0, keepdims=True)
                  for a in range(A)], axis=0)
-            CR = jnp.concatenate(
-                [jnp.sum(child_s[a].astype(jnp.float32) * oh, axis=0,
-                         keepdims=True) for a in range(A)], axis=0)
-            return exp, P, W, Vv, CR
+            return exp, P, W, Vv
     else:
-        vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
 
         def gather_rows(node, found):
             """Wide boards: action-outer static unroll.  One full [V, Gb]
@@ -248,7 +261,7 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
             which were pruned after losing.  Finished lanes read node 0's
             row, which the policy/sampling math never consumes."""
             oh = (vio == node).astype(jnp.float32)  # [V, Gb]
-            exp = jnp.sum(expanded_ref[:] * oh, axis=0, keepdims=True)
+            exp = jnp.sum(expanded * oh, axis=0, keepdims=True)
             for a in range(A):
                 p_scr[pl.ds(a, 1)] = jnp.sum(
                     prior_ref[a] * oh, axis=0, keepdims=True)
@@ -256,14 +269,11 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
                     wsum_ref[a] * oh, axis=0, keepdims=True)
                 v_scr[pl.ds(a, 1)] = jnp.sum(
                     visits_ref[a] * oh, axis=0, keepdims=True)
-                c_scr[pl.ds(a, 1)] = jnp.sum(
-                    child_ref[a].astype(jnp.float32) * oh, axis=0,
-                    keepdims=True)
-            return exp, p_scr[:], w_scr[:], v_scr[:], c_scr[:]
+            return exp, p_scr[:], w_scr[:], v_scr[:]
 
     def body(st):
         d, node, found, leaf_action, needs_alloc = st
-        exp, P, W, Vv, CR = gather_rows(node, found)
+        exp, P, W, Vv = gather_rows(node, found)
         live = (1.0 - found) * exp
         Q = jnp.where(Vv > 0, W / jnp.maximum(Vv, 1.0), 0.0)
 
@@ -279,8 +289,12 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
         nodes_out[pl.ds(d, 1), :] = jnp.where(live > 0.5, node, -1)
         actions_out[pl.ds(d, 1), :] = jnp.where(live > 0.5, action, 0)
 
+        # child under (node, action): every edge is allocated at most once,
+        # so the per-node (parent, action_from) scalars determine it - no
+        # stored [A, V, G] child table (tree.child_lookup is the jnp twin)
+        match = jnp.logical_and(parent == node, action_from == action)
         cid = jnp.sum(
-            jnp.where(aio == action, CR, 0.0), axis=0, keepdims=True
+            jnp.where(match, viof, 0.0), axis=0, keepdims=True
         ).astype(jnp.int32)
         hit_missing = live * (cid == 0).astype(jnp.float32)
         leaf_action = jnp.where(hit_missing > 0.5, action, leaf_action)
@@ -304,11 +318,130 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, child_ref, expanded_ref,
     alloc_out[:] = needs_alloc.astype(jnp.int8)
 
 
+def _select_kernel(prior_ref, wsum_ref, visits_ref, parent_ref, af_ref,
+                   expanded_ref, probs_ref,
+                   nodes_out, actions_out, leaf_out, laction_out, alloc_out,
+                   rootpi_out, p_scr, w_scr, v_scr,
+                   *, cpuct, num_actions, max_depth):
+    _walk(prior_ref, wsum_ref, visits_ref, parent_ref, af_ref,
+          expanded_ref, probs_ref,
+          nodes_out, actions_out, leaf_out, laction_out, alloc_out,
+          rootpi_out, p_scr, w_scr, v_scr,
+          cpuct=cpuct, num_actions=num_actions, max_depth=max_depth)
+
+
+def _backup_edges(wsum_out, visits_out, nodes_ref, actions_ref, length,
+                  value, *, num_actions):
+    """Per recorded path edge: wsum += parity-flipped value, visits += 1 -
+    a read-modify-write of only the 8-sublane node chunks the edges land
+    in (node ids are allocation-ordered: depth 0 is always the root chunk,
+    deeper edges span at most the current allocation count)."""
+    A = num_actions
+    V = wsum_out.shape[1]
+    Gb = length.shape[1]
+    aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
+    sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
+    max_len = jnp.max(length)
+
+    def body(d, _):
+        nodes = nodes_ref[pl.ds(d, 1), :]  # [1, Gb]; -1 = nothing recorded
+        actions = actions_ref[pl.ds(d, 1), :]
+        valid = nodes >= 0
+        k = length - 1 - d
+        contrib = jnp.where(k % 2 == 0, 1.0 - value, value)  # [1, Gb]
+        am = (aio == actions).astype(jnp.float32)  # [A, Gb]
+        amc = am * contrib
+        lo = jnp.min(jnp.where(valid, nodes, V - 1))
+        hi = jnp.max(jnp.where(valid, nodes, 0))
+        lo8 = (lo // 8) * 8
+        nch = hi // 8 - lo // 8 + 1  # <= 0 if no lane is valid at depth d
+
+        def chunk(j, c):
+            base = pl.multiple_of(lo8 + j * 8, 8)
+            # invalid lanes (node -1) never match a chunk row
+            vm = ((sio + base) == nodes).astype(jnp.float32)  # [8, Gb]
+            wsum_out[:, pl.ds(base, 8), :] += amc[:, None, :] * vm[None]
+            visits_out[:, pl.ds(base, 8), :] += am[:, None, :] * vm[None]
+            return c
+
+        jax.lax.fori_loop(0, nch, chunk, 0)
+        return _
+
+    jax.lax.fori_loop(0, max_len, body, 0)
+
+
+def _select_apply_kernel(prior_in, wsum_in, visits_in, parent_ref, af_ref,
+                         expanded_ref, probs_ref,
+                         pu_nodes, pu_actions, pu_length, pu_value,
+                         pu_leaf, pu_newp, pu_write,
+                         prior_out, wsum_out, visits_out,
+                         nodes_out, actions_out, leaf_out, laction_out,
+                         alloc_out, rootpi_out, p_scr, w_scr, v_scr,
+                         *, cpuct, num_actions, max_depth):
+    """Fused (apply previous rollout's expand+backup) -> (this rollout's
+    selection walk).
+
+    The rollout pipeline defers each rollout's stat writes - the expanded
+    leaf's prior row and the path's (value-sum, visits) adds - into the
+    NEXT rollout's select, which already streams those stat blocks through
+    VMEM.  Applying the pending update to the VMEM-resident blocks (and
+    writing the blocks back out through input/output aliasing) makes the
+    whole per-rollout tree work cost ONE stat read + ONE stat write: the
+    standalone backup kernel's extra read+write of (wsum, visits) and the
+    jnp expand's full [A, V, G] prior rewrite disappear.  Identical math,
+    identical results - only the moment the writes land in HBM moves, and
+    nothing reads the stats between a rollout's backup and the next
+    rollout's select (run_mcts flushes the last rollout's update after the
+    scan)."""
+    A = num_actions
+    V = prior_in.shape[1]
+    Gb = prior_in.shape[2]
+
+    # copy-through: the walk below reads the *_out refs, so it sees the
+    # applied update; rows the update misses keep their input values
+    prior_out[:] = prior_in[:]
+    wsum_out[:] = wsum_in[:]
+    visits_out[:] = visits_in[:]
+
+    # --- pending prior-row write (the deferred expand, search.expand) ---
+    pleaf = pu_leaf[:]  # [1, Gb] i32
+    write = pu_write[:]  # [1, Gb] f32 {0,1}
+    newp = pu_newp[:]  # [A, Gb]
+    sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
+    lo = jnp.min(jnp.where(write > 0, pleaf, V - 1))
+    hi = jnp.max(jnp.where(write > 0, pleaf, 0))
+    lo8 = (lo // 8) * 8
+    nch = hi // 8 - lo // 8 + 1  # <= 0 when no lane writes
+
+    def pchunk(j, c):
+        base = pl.multiple_of(lo8 + j * 8, 8)
+        m = jnp.logical_and((sio + base) == pleaf, write > 0)  # [8, Gb]
+        cur = prior_out[:, pl.ds(base, 8), :]
+        prior_out[:, pl.ds(base, 8), :] = jnp.where(
+            m[None], newp[:, None, :], cur)
+        return c
+
+    jax.lax.fori_loop(0, nch, pchunk, 0)
+
+    # --- pending path edge updates (the deferred backup) ---
+    _backup_edges(wsum_out, visits_out, pu_nodes, pu_actions,
+                  pu_length[:], pu_value[:], num_actions=A)
+
+    _walk(prior_out, wsum_out, visits_out, parent_ref, af_ref,
+          expanded_ref, probs_ref,
+          nodes_out, actions_out, leaf_out, laction_out, alloc_out,
+          rootpi_out, p_scr, w_scr, v_scr,
+          cpuct=cpuct, num_actions=num_actions, max_depth=max_depth)
+
+
 @functools.partial(jax.jit, static_argnames=("cpuct", "interpret", "vseg"))
-def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float,
-                  interpret: bool = False, vseg: int | None = None):
+def select_pallas(prior, wsum, visits, parent, action_from, expanded, probs,
+                  cpuct: float, interpret: bool = False,
+                  vseg: int | None = None):
     """(path_nodes, path_actions, node, leaf_action, needs_alloc, root_pi):
     the per-rollout selection walk in one kernel.  probs: f32[D, G].
+    parent/action_from: i32[V, G] - the walk derives each child id from
+    them (see tree.child_lookup); no child table is read or stored.
 
     ``vseg`` (a multiple of 8 <= V) bounds the node rows the kernel streams
     from HBM to the first ``vseg``: node ids are allocation-ordered (<= 1
@@ -319,6 +452,7 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float,
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (any
     backend) - the CI parity path (tests/test_pallas.py)."""
+    interpret = interpret or bool(os.environ.get("ALPHATPU_FORCE_INTERPRET"))
     A, V, G = prior.shape
     D = probs.shape[0]
     Vb = vseg or V
@@ -351,16 +485,90 @@ def select_pallas(prior, wsum, visits, child, expanded, probs, cpuct: float,
             jax.ShapeDtypeStruct((A, G), jnp.float32),
         ),
         grid=grid,
-        in_specs=[stat_spec, stat_spec, stat_spec, stat_spec, vg_spec,
+        in_specs=[stat_spec, stat_spec, stat_spec, vg_spec, vg_spec, vg_spec,
                   dg_spec],
         out_specs=(dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
-        scratch_shapes=[pltpu.VMEM((A, Gb), jnp.float32)] * 4,
+        scratch_shapes=[pltpu.VMEM((A, Gb), jnp.float32)] * 3,
         compiler_params=_compiler_params(A, V, G),
         interpret=interpret,
-        # expanded travels as f32: the wide path dynamic-slices it in
-        # 8-sublane chunks, and i8 tiles are 32-sublane.
-    )(prior, wsum, visits, child, expanded.astype(jnp.float32), probs)
+        # expanded travels as f32 (i8 tiles are 32-sublane); parent and
+        # action_from are i32 [V, G] planes - 2/A the bytes of the child
+        # stat block they replace.
+    )(prior, wsum, visits, parent, action_from,
+      expanded.astype(jnp.float32), probs)
     return nodes, actions, node[0], laction[0], alloc[0] != 0, rootpi
+
+
+@functools.partial(jax.jit, static_argnames=("cpuct", "interpret", "vseg"),
+                   donate_argnums=(0, 1, 2))
+def select_apply_pallas(prior, wsum, visits, parent, action_from, expanded,
+                        probs, pu_nodes, pu_actions, pu_length, pu_value,
+                        pu_leaf, pu_newp, pu_write, cpuct: float,
+                        interpret: bool = False, vseg: int | None = None):
+    """Fused previous-rollout stat update + this rollout's selection walk.
+
+    Returns ``(prior', wsum', visits', path_nodes, path_actions, node,
+    leaf_action, needs_alloc, root_pi)``.  The pending update (``pu_*``) is
+    the previous rollout's deferred writes: its recorded path + leaf value
+    (the backup) and its expanded leaf id + normalized prior row + write
+    mask (the prior write of search.expand).  Pass an empty pending (write
+    0, length 0, nodes -1) for the first rollout.  prior/wsum/visits are
+    donated and updated in place via input/output aliasing - per rollout
+    the stat blocks cross HBM exactly once in and once out."""
+    interpret = interpret or bool(os.environ.get("ALPHATPU_FORCE_INTERPRET"))
+    A, V, G = prior.shape
+    D = probs.shape[0]
+    Vb = vseg or V
+    assert Vb % 8 == 0 and Vb <= V
+    Gb = games_block(A, V, G)
+    assert G % Gb == 0
+    grid = (G // Gb,)
+
+    def avg(i):
+        return (0, 0, i)
+
+    def vg(i):
+        return (0, i)
+
+    stat_spec = pl.BlockSpec((A, Vb, Gb), avg, memory_space=pltpu.VMEM)
+    vg_spec = pl.BlockSpec((Vb, Gb), vg, memory_space=pltpu.VMEM)
+    dg_spec = pl.BlockSpec((D, Gb), vg, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, Gb), vg, memory_space=pltpu.VMEM)
+    ag_spec = pl.BlockSpec((A, Gb), vg, memory_space=pltpu.VMEM)
+
+    (prior2, wsum2, visits2, nodes, actions, node, laction, alloc,
+     rootpi) = pl.pallas_call(
+        functools.partial(_select_apply_kernel, cpuct=cpuct, num_actions=A,
+                          max_depth=D),
+        out_shape=(
+            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
+            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
+            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
+            jax.ShapeDtypeStruct((D, G), jnp.int32),
+            jax.ShapeDtypeStruct((D, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int8),
+            jax.ShapeDtypeStruct((A, G), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[stat_spec, stat_spec, stat_spec, vg_spec, vg_spec, vg_spec,
+                  dg_spec,
+                  dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec,
+                  row_spec],
+        out_specs=(stat_spec, stat_spec, stat_spec,
+                   dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
+        input_output_aliases={0: 0, 1: 1, 2: 2},
+        scratch_shapes=[pltpu.VMEM((A, Gb), jnp.float32)] * 3,
+        compiler_params=_compiler_params(A, V, G),
+        interpret=interpret,
+    )(prior, wsum, visits, parent, action_from,
+      expanded.astype(jnp.float32), probs,
+      pu_nodes, pu_actions, pu_length[None, :].astype(jnp.int32),
+      pu_value[None, :], pu_leaf[None, :].astype(jnp.int32), pu_newp,
+      pu_write[None, :].astype(jnp.float32))
+    return (prior2, wsum2, visits2, nodes, actions, node[0], laction[0],
+            alloc[0] != 0, rootpi)
 
 
 # ---------------------------------------------------------------------------
@@ -375,47 +583,14 @@ def _backup_kernel(nodes_ref, actions_ref, length_ref, value_ref,
     the full [A, V, G] arrays from HBM once per *depth step* - here the
     whole walk costs one HBM read + one write per block regardless of path
     length.  After a copy-through of the blocks, each depth step updates
-    only the 8-sublane node chunks its edges actually land in (ids are
-    allocation-ordered: depth 0 is always the root chunk, deeper edges
-    span at most the current allocation count) - a read-modify-write of
-    [A, 8, Gb] slices instead of a full [A, V, Gb] pass per depth."""
-    A = num_actions
-    V = wsum_in.shape[1]
-    length = length_ref[:]  # [1, Gb] i32
-    value = value_ref[:]  # [1, Gb] f32
-    Gb = length.shape[1]
-    aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
-    sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
-
+    only the 8-sublane node chunks its edges actually land in
+    (_backup_edges).  The production rollout pipeline fuses this into the
+    next rollout's select (_select_apply_kernel); this standalone kernel
+    remains for the post-scan flush and pre-grown-tree searches."""
     wsum_out[:] = wsum_in[:]
     visits_out[:] = visits_in[:]
-    max_len = jnp.max(length)
-
-    def body(d, _):
-        nodes = nodes_ref[pl.ds(d, 1), :]  # [1, Gb]; -1 = nothing recorded
-        actions = actions_ref[pl.ds(d, 1), :]
-        valid = nodes >= 0
-        k = length - 1 - d
-        contrib = jnp.where(k % 2 == 0, 1.0 - value, value)  # [1, Gb]
-        am = (aio == actions).astype(jnp.float32)  # [A, Gb]
-        amc = am * contrib
-        lo = jnp.min(jnp.where(valid, nodes, V - 1))
-        hi = jnp.max(jnp.where(valid, nodes, 0))
-        lo8 = (lo // 8) * 8
-        nch = hi // 8 - lo // 8 + 1  # <= 0 if no lane is valid at depth d
-
-        def chunk(j, c):
-            base = pl.multiple_of(lo8 + j * 8, 8)
-            # invalid lanes (node -1) never match a chunk row
-            vm = ((sio + base) == nodes).astype(jnp.float32)  # [8, Gb]
-            wsum_out[:, pl.ds(base, 8), :] += amc[:, None, :] * vm[None]
-            visits_out[:, pl.ds(base, 8), :] += am[:, None, :] * vm[None]
-            return c
-
-        jax.lax.fori_loop(0, nch, chunk, 0)
-        return _
-
-    jax.lax.fori_loop(0, max_len, body, 0)
+    _backup_edges(wsum_out, visits_out, nodes_ref, actions_ref,
+                  length_ref[:], value_ref[:], num_actions=num_actions)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "vseg"))
@@ -431,6 +606,7 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
     rows >= vseg pass through untouched via the input/output aliasing (the
     kernel never visits those blocks, so the aliased buffer keeps them).
     """
+    interpret = interpret or bool(os.environ.get("ALPHATPU_FORCE_INTERPRET"))
     A, V, G = wsum.shape
     D = path_nodes.shape[0]
     Vb = vseg or V

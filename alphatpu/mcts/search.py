@@ -35,10 +35,14 @@ different data movement):
   in-graph batch-major forward per rollout (mcts_gpu.jl:396-439) - no host
   syncs anywhere.
 
-On TPU with lane-aligned shapes, select and backup each run as ONE
-VMEM-resident Pallas kernel (pallas_kernels.py): per rollout the tree stats
-cross HBM once, however deep the walks iterate.  The jnp versions below are
-the numerical reference and the CPU fallback.
+On TPU with lane-aligned shapes, the whole per-rollout tree work runs as
+ONE fused VMEM-resident Pallas kernel: the previous rollout's expand/backup
+writes are deferred into the next rollout's select, whose streamed stat
+blocks are updated in VMEM and written back through aliasing
+(pallas_kernels.select_apply_pallas; see run_mcts's pipelined loop).  Per
+rollout the stats cross HBM exactly once in and once out, however deep the
+walks iterate.  The jnp versions below are the numerical reference and the
+CPU fallback.
 """
 from __future__ import annotations
 
@@ -51,6 +55,7 @@ import jax.numpy as jnp
 from .newton import cdf_sample, regularized_policy
 from .tree import (
     Tree,
+    child_lookup,
     gather_node,
     gather_stat,
     gather_states,
@@ -101,7 +106,6 @@ def descend(game, tree: Tree, probs, cpuct):
     A = tree.num_actions
     G = tree.num_games
     max_depth = probs.shape[0]
-    act_ids = jnp.arange(A)[:, None]  # [A, 1]
 
     def cond(st):
         _, found, depth, *_ = st
@@ -123,7 +127,7 @@ def descend(game, tree: Tree, probs, cpuct):
         action = cdf_sample(pi, probs[depth])  # [G]
         pnodes = pnodes.at[depth].set(jnp.where(live, node, -1))
         pactions = pactions.at[depth].set(jnp.where(live, action, 0))
-        cid = (gather_stat(tree.child, oh) * (act_ids == action[None])).sum(0)
+        cid = child_lookup(tree.parent, tree.action_from, node, action)
         hit_missing = live & (cid == 0)
         leaf_action = jnp.where(hit_missing, action, leaf_action)
         needs_alloc = needs_alloc | hit_missing
@@ -167,8 +171,9 @@ def select(game, tree: Tree, probs, cpuct, vseg: int | None = None):
     if select_supported(tree.num_games, tree.num_nodes, tree.num_actions):
         pnodes, pactions, node, leaf_action, needs_alloc, root_pi = (
             select_pallas(
-                tree.prior, tree.wsum, tree.visits, tree.child,
-                tree.expanded, probs, float(cpuct), vseg=vseg,
+                tree.prior, tree.wsum, tree.visits, tree.parent,
+                tree.action_from, tree.expanded, probs, float(cpuct),
+                vseg=vseg,
             )
         )
         path = Path(pnodes, pactions, (pnodes >= 0).sum(0).astype(jnp.int32))
@@ -194,7 +199,7 @@ def leaf_positions(game, tree: Tree, node, leaf_action, needs_alloc):
 
 
 def expand(game, tree: Tree, node, leaf_action, needs_alloc, leaf_states,
-           prior_nn, training: bool):
+           prior_nn, training: bool, write_prior: bool = True):
     """Allocate the new children (same ids and order as the reference's
     in-walk `newindex` counter, mcts_gpu.jl:184), then write masked,
     normalized priors at each game's leaf; at the root during training mix
@@ -203,25 +208,21 @@ def expand(game, tree: Tree, node, leaf_action, needs_alloc, leaf_states,
     ``--noise`` flag is dead there, the 25% mix is baked in).  Terminal
     leaves keep zero priors and get expanded = False (mcts_gpu.jl:255-257).
 
-    ``prior_nn``: [A, G].  Returns (tree, leaf, done, result).
+    ``prior_nn``: [A, G].  Returns (tree, leaf, done, result, newp) where
+    ``newp`` [A, G] is the prior row written at each game's leaf.  With
+    ``write_prior=False`` the [A, V, G] prior array is left untouched and
+    the caller owes the write (the fused kernel pipeline defers it into
+    the next rollout's select; see run_mcts).
     """
     V = tree.num_nodes
     A = tree.num_actions
-    act_ids = jnp.arange(A)[:, None]
 
     new = tree.next_idx
     slot_oh = node_onehot(V, new) & needs_alloc[None, :]
-    parent_oh = node_onehot(V, node)
-    act_oh = act_ids == leaf_action[None, :]  # [A, G]
     tree = tree._replace(
         parent=scatter_node(tree.parent, slot_oh, node),
         action_from=scatter_node(tree.action_from, slot_oh, leaf_action),
         states=scatter_states(tree.states, slot_oh, leaf_states),
-        child=jnp.where(
-            act_oh[:, None, :] & parent_oh[None] & needs_alloc[None, None, :],
-            new[None, None, :],
-            tree.child,
-        ),
         next_idx=tree.next_idx + needs_alloc.astype(jnp.int32),
     )
     leaf = jnp.where(needs_alloc, new, node)
@@ -240,14 +241,30 @@ def expand(game, tree: Tree, node, leaf_action, needs_alloc, leaf_states,
         newp = jnp.where(is_root, mixed, p_norm)
     else:
         newp = p_norm
-    old = gather_stat(tree.prior, oh)
-    newp = jnp.where(done[None, :], old, newp)
+    # Terminal leaves keep their stored prior (mcts_gpu.jl:255-257) - which
+    # is provably all-zero: a leaf is either freshly allocated (row zeroed
+    # at reset) or a revisited terminal node whose row was never written,
+    # so "keep old" needs no gather at all.
+    newp = jnp.where(done[None, :], 0.0, newp)
 
     tree = tree._replace(
         expanded=scatter_node(tree.expanded, oh, ~done),
-        prior=scatter_stat(tree.prior, oh, newp),
+        prior=(scatter_stat(tree.prior, oh, newp) if write_prior
+               else tree.prior),
     )
-    return tree, leaf, done, result
+    return tree, leaf, done, result, newp
+
+
+def leaf_value_of(leaf_player, value_nn, done, result):
+    """The value backed up from each leaf: the terminal result
+    ``(1 + player * r) / 2`` when the game is over there, else the NN value
+    (mcts_gpu.jl:312-317)."""
+    return jnp.where(
+        done,
+        (1.0 + leaf_player.astype(jnp.float32) * result.astype(jnp.float32))
+        / 2.0,
+        value_nn,
+    )
 
 
 def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result,
@@ -266,12 +283,7 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result,
     V = tree.num_nodes
     A = tree.num_actions
     act_ids = jnp.arange(A)[:, None]
-    leaf_value = jnp.where(
-        done,
-        (1.0 + leaf_player.astype(jnp.float32) * result.astype(jnp.float32))
-        / 2.0,
-        value_nn,
-    )
+    leaf_value = leaf_value_of(leaf_player, value_nn, done, result)
     if select_supported(tree.num_games, tree.num_nodes, tree.num_actions):
         wsum, visits = backup_pallas(
             tree.wsum, tree.visits,
@@ -305,6 +317,44 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result,
     return tree
 
 
+class PendingUpdate(NamedTuple):
+    """One rollout's deferred stat writes, applied inside the next
+    rollout's fused select kernel (see run_mcts's pipelined loop)."""
+
+    nodes: jnp.ndarray  # i32[D, G] - recorded path (backup targets)
+    actions: jnp.ndarray  # i32[D, G]
+    length: jnp.ndarray  # i32[G]
+    value: jnp.ndarray  # f32[G] - leaf value to back up
+    leaf: jnp.ndarray  # i32[G] - node whose prior row gets written
+    newp: jnp.ndarray  # f32[A, G] - the prior row
+    write: jnp.ndarray  # bool[G] - False = no prior write (empty pending)
+
+
+def empty_pending(depth_cap: int, A: int, G: int) -> PendingUpdate:
+    """The no-op pending update fed to the first rollout's fused select."""
+    return PendingUpdate(
+        nodes=jnp.full((depth_cap, G), -1, jnp.int32),
+        actions=jnp.zeros((depth_cap, G), jnp.int32),
+        length=jnp.zeros((G,), jnp.int32),
+        value=jnp.zeros((G,), jnp.float32),
+        leaf=jnp.zeros((G,), jnp.int32),
+        newp=jnp.zeros((A, G), jnp.float32),
+        write=jnp.zeros((G,), bool),
+    )
+
+
+def backup_flush(tree: Tree, pend: PendingUpdate) -> Tree:
+    """Apply a pending update's backup adds directly (the post-scan flush
+    of the pipelined rollout loop)."""
+    from .pallas_kernels import backup_pallas
+
+    wsum, visits = backup_pallas(
+        tree.wsum, tree.visits, pend.nodes, pend.actions, pend.length,
+        pend.value,
+    )
+    return tree._replace(wsum=wsum, visits=visits)
+
+
 def run_mcts(
     game,
     net_apply: Callable,
@@ -333,7 +383,20 @@ def run_mcts(
     recomputes the root's regularized policy from the post-search stats (a
     free strength knob the reference's stored-policy protocol could not
     afford - the root row is node 0, a static slice).
+
+    On the kernel path the rollout loop is PIPELINED: rollout r's stat
+    writes (the backup adds and the expanded leaf's prior row) are carried
+    as a pending update and applied inside rollout r+1's fused
+    select kernel, whose VMEM-resident blocks are written back through
+    aliasing (pallas_kernels.select_apply_pallas) - each rollout moves the
+    [A, V, G] stats through HBM exactly once in and once out, instead of
+    select-read + backup-read-write + a full jnp prior rewrite.  The last
+    rollout's pending update is flushed after the scan.  Identical math
+    and results; nothing reads the stats between a backup and the next
+    select in either schedule.
     """
+    from .pallas_kernels import select_apply_pallas, select_supported
+
     G = tree.num_games
     A = tree.num_actions
     V = tree.num_nodes
@@ -346,6 +409,16 @@ def run_mcts(
         xs = probs
         get_probs = lambda p: p
 
+    fused = select_supported(G, V, A)
+
+    def nn_eval(tree, node, leaf_action, needs_alloc):
+        leaf_states = leaf_positions(game, tree, node, leaf_action,
+                                     needs_alloc)
+        enc = jax.vmap(game.encode)(leaf_states)  # [G, in] - batch-major
+        logits, v = net_apply(params, enc)
+        prior = jax.nn.softmax(logits, axis=-1).T  # [A, G]
+        return leaf_states, prior, v
+
     def body(carry, x, vseg=None):
         tree, _ = carry
         p = get_probs(x)
@@ -353,11 +426,8 @@ def run_mcts(
         path, node, leaf_action, needs_alloc, root_pi = select(
             game, tree, p, cpuct, vseg=vseg
         )
-        leaf_states = leaf_positions(game, tree, node, leaf_action, needs_alloc)
-        enc = jax.vmap(game.encode)(leaf_states)  # [G, in] - batch-major
-        logits, v = net_apply(params, enc)
-        prior = jax.nn.softmax(logits, axis=-1).T  # [A, G]
-        tree, leaf, done, result = expand(
+        leaf_states, prior, v = nn_eval(tree, node, leaf_action, needs_alloc)
+        tree, leaf, done, result, newp = expand(
             game, tree, node, leaf_action, needs_alloc, leaf_states, prior,
             training,
         )
@@ -365,13 +435,43 @@ def run_mcts(
         # first rollout), the selection saw no policy; the stored-policy
         # reference would report the freshly written (noise-mixed) root
         # prior (mcts_gpu.jl:297-299) - matters only for rollouts == 1.
-        root_pi = jnp.where(
-            root_was_expanded[None, :], root_pi, tree.prior[:, 0]
-        )
+        # Lanes with an unexpanded root have leaf == root, so newp IS that
+        # freshly written root row.
+        root_pi = jnp.where(root_was_expanded[None, :], root_pi, newp)
         tree = backup(
             tree, path, leaf_states.player, v, done, result, vseg=vseg
         )
         return (tree, root_pi), None
+
+    def fused_body(carry, x, vseg=None):
+        tree, _, pend = carry
+        p = get_probs(x)
+        root_was_expanded = tree.expanded[0]  # [G]
+        (prior2, wsum2, visits2, pnodes, pactions, node, leaf_action,
+         needs_alloc, root_pi) = select_apply_pallas(
+            tree.prior, tree.wsum, tree.visits, tree.parent,
+            tree.action_from, tree.expanded, p,
+            pend.nodes, pend.actions, pend.length, pend.value,
+            pend.leaf, pend.newp, pend.write, float(cpuct), vseg=vseg,
+        )
+        tree = tree._replace(prior=prior2, wsum=wsum2, visits=visits2)
+        path = Path(pnodes, pactions, (pnodes >= 0).sum(0).astype(jnp.int32))
+        leaf_states, prior, v = nn_eval(tree, node, leaf_action, needs_alloc)
+        tree, leaf, done, result, newp = expand(
+            game, tree, node, leaf_action, needs_alloc, leaf_states, prior,
+            training, write_prior=False,
+        )
+        root_pi = jnp.where(root_was_expanded[None, :], root_pi, newp)
+        pend = PendingUpdate(
+            nodes=path.nodes,
+            actions=path.actions,
+            length=path.length,
+            value=leaf_value_of(leaf_states.player, v, done, result),
+            leaf=leaf,
+            newp=newp,
+            write=jnp.ones((G,), bool),
+        )
+        return (tree, root_pi, pend), None
 
     # Segmented rollout loop: node ids are allocation-ordered (root = 0,
     # <= 1 new node per rollout), so rollout r only touches stat rows
@@ -380,22 +480,35 @@ def run_mcts(
     # move at zero math change.  Requires a freshly reset tree (every
     # production caller resets before searching); pass
     # ``segment_rollouts=False`` to search a pre-grown tree.
-    carry = (tree, jnp.zeros((A, G), jnp.float32))
-    if (
+    segment = (
         segment_rollouts
         and V % 32 == 0
         and rollouts == V
         and probs is None
-    ):
+    )
+    the_body = fused_body if fused else body
+    if fused:
+        carry = (tree, jnp.zeros((A, G), jnp.float32), empty_pending(
+            depth_cap, A, G))
+    else:
+        carry = (tree, jnp.zeros((A, G), jnp.float32))
+    if segment:
         bounds = (V // 4, V // 2, V)
         r0 = 0
         for vseg in bounds:
-            seg_body = functools.partial(body, vseg=vseg)
+            seg_body = functools.partial(the_body, vseg=vseg)
             carry, _ = jax.lax.scan(seg_body, carry, xs[r0:vseg])
             r0 = vseg
     else:
-        carry, _ = jax.lax.scan(body, carry, xs)
-    tree, root_pi = carry
+        carry, _ = jax.lax.scan(the_body, carry, xs)
+    if fused:
+        tree, root_pi, pend = carry
+        # flush the last rollout's deferred writes
+        tree = tree._replace(prior=scatter_stat(
+            tree.prior, node_onehot(V, pend.leaf), pend.newp))
+        tree = backup_flush(tree, pend)
+    else:
+        tree, root_pi = carry
     if final_root_policy:
         root_pi = node_policy(
             tree.prior[:, 0, :], tree.wsum[:, 0, :], tree.visits[:, 0, :],

@@ -19,8 +19,13 @@ front for the vmapped game functions.
 
 Differences from the reference layout, by design:
 * ``childID [V, V, G]`` + ``Achild`` + ``childnbr`` (the O(V^2) indirection,
-  mcts_gpu.jl:38) collapse into one ``child [A, V, G]`` index array
-  (0 = no child; the root is node 0 and can never be a child),
+  mcts_gpu.jl:38) are not stored AT ALL: every edge is allocated at most
+  once, so the child under (node, action) is derivable from the per-node
+  ``parent`` + ``action_from`` scalars the tree already keeps -
+  :func:`child_lookup` is a [V, G] match-and-reduce.  Dropping the
+  explicit child table removes an entire [A, V, G] array from memory,
+  from select's per-rollout HBM read and from expand's per-rollout
+  full-array rewrite (0 = no child; the root is node 0, never a child),
 * node ids are 0-based; a null parent is -1,
 * all selects/updates are one-hot masked ops, never serialized scatters.
 """
@@ -40,7 +45,6 @@ class Tree(NamedTuple):
     prior: jnp.ndarray  # f32[A, V, G]
     wsum: jnp.ndarray  # f32[A, V, G] - per-edge backed-up value sum
     visits: jnp.ndarray  # f32[A, V, G]
-    child: jnp.ndarray  # i32[A, V, G], 0 = none
     next_idx: jnp.ndarray  # i32[G] - next free node slot
 
     @property
@@ -100,7 +104,6 @@ def init_tree(game, positions, num_nodes: int) -> Tree:
         prior=jnp.zeros((A, V, G), jnp.float32),
         wsum=jnp.zeros((A, V, G), jnp.float32),
         visits=jnp.zeros((A, V, G), jnp.float32),
-        child=jnp.zeros((A, V, G), jnp.int32),
         next_idx=jnp.ones((G,), jnp.int32),
     )
 
@@ -122,8 +125,23 @@ def reset_tree(tree: Tree, positions) -> Tree:
         prior=jnp.zeros_like(tree.prior),
         wsum=jnp.zeros_like(tree.wsum),
         visits=jnp.zeros_like(tree.visits),
-        child=jnp.zeros_like(tree.child),
         next_idx=jnp.ones_like(tree.next_idx),
+    )
+
+
+def child_lookup(parent, action_from, node, action):
+    """i32[G] id of each game's child under (node, action), 0 = none.
+
+    Every edge is allocated at most once (select only flags ``needs_alloc``
+    when no child exists, expand allocates exactly that edge), so at most
+    one node v satisfies ``parent[v] == node and action_from[v] == action``
+    per game; unallocated slots hold parent -1 and never match.  This
+    replaces the reference's stored childID indirection (mcts_gpu.jl:38)
+    with a [V, G] match - no [A, V, G] child table exists at all."""
+    V = parent.shape[0]
+    match = (parent == node[None, :]) & (action_from == action[None, :])
+    return jnp.sum(
+        jnp.where(match, jnp.arange(V, dtype=jnp.int32)[:, None], 0), axis=0
     )
 
 

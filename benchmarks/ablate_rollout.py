@@ -50,7 +50,7 @@ def make_variant(do_select=True, do_backup=True, use_nn=True, do_expand=True):
                 prior = jnp.full((game.max_actions, G), 1.0 / game.max_actions)
                 v = jnp.full((G,), 0.5)
             if do_expand:
-                tree, leaf, done, result = S.expand(
+                tree, leaf, done, result, _newp = S.expand(
                     game, tree, node, leaf_action, needs_alloc, leaf_states,
                     prior, True)
             else:

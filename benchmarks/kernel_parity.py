@@ -39,7 +39,7 @@ def check(name, G=1024, R=32):
         K.select_supported = orig
 
     print(f"--- {name} (A={game.max_actions}) ---")
-    for field in ("parent", "action_from", "expanded", "child", "next_idx",
+    for field in ("parent", "action_from", "expanded", "next_idx",
                   "visits"):
         a, b = getattr(tree_k, field), getattr(tree_j, field)
         print(f"  {field:12s} equal: "

@@ -32,16 +32,17 @@ tree = jax.tree.map(lambda x: jnp.asarray(jax.device_get(x)), tree)
 
 def time_at_depth(D):
     @jax.jit
-    def run(key, prior, wsum, visits, child, expanded):
+    def run(key, prior, wsum, visits, parent, af, expanded):
         def body(c, k):
             p = jax.random.uniform(k, (D, G))
-            out = pk.select_pallas(prior, wsum, visits, child, expanded,
+            out = pk.select_pallas(prior, wsum, visits, parent, af, expanded,
                                    p, 1.5)
             return c + out[5].sum(), None
         c, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, R))
         return c
 
-    args = (tree.prior, tree.wsum, tree.visits, tree.child, tree.expanded)
+    args = (tree.prior, tree.wsum, tree.visits, tree.parent,
+            tree.action_from, tree.expanded)
     jax.device_get(run(jax.random.key(2), *args))
     t0 = time.time()
     jax.device_get(run(jax.random.key(3), *args))

@@ -33,7 +33,6 @@ tree, _ = run_mcts(
 tree = jax.tree.map(lambda x: jax.device_get(x), tree)
 tree = jax.tree.map(lambda x: jnp.asarray(x), tree)
 D = min(game.max_game_length, R)
-lens = jax.device_get((tree.child.max(axis=(0, 2)) > 0).sum())
 print(f"occupancy: next_idx mean={float(jax.device_get(tree.next_idx.mean())):.1f}")
 
 
@@ -54,25 +53,25 @@ def time_scan(name, fn, *args):
           flush=True)
 
 
-def sel(prior, wsum, visits, child, expanded, p):
-    out = pk.select_pallas(prior, wsum, visits, child, expanded, p, 1.5)
+def sel(prior, wsum, visits, parent, af, expanded, p):
+    out = pk.select_pallas(prior, wsum, visits, parent, af, expanded, p, 1.5)
     return out[5].sum()  # root_pi
 
 
 time_scan("select (full newton)", sel, tree.prior, tree.wsum, tree.visits,
-          tree.child, tree.expanded)
+          tree.parent, tree.action_from, tree.expanded)
 
 orig = pk.NEWTON_MAX_CHUNKS
 pk.NEWTON_MAX_CHUNKS = 1
 pk.select_pallas._clear_cache()
 time_scan("select (newton capped 1)", sel, tree.prior, tree.wsum,
-          tree.visits, tree.child, tree.expanded)
+          tree.visits, tree.parent, tree.action_from, tree.expanded)
 pk.NEWTON_MAX_CHUNKS = orig
 pk.select_pallas._clear_cache()
 
 # backup on the paths the real select produces
-path = pk.select_pallas(tree.prior, tree.wsum, tree.visits, tree.child,
-                        tree.expanded,
+path = pk.select_pallas(tree.prior, tree.wsum, tree.visits, tree.parent,
+                        tree.action_from, tree.expanded,
                         jax.random.uniform(jax.random.key(9), (D, G)), 1.5)
 pnodes, pactions = path[0], path[1]
 plen = (pnodes >= 0).sum(0).astype(jnp.int32)

@@ -10,6 +10,7 @@ import pytest
 from alphatpu import bitboard as bb
 from alphatpu.games import make_game
 from alphatpu.mcts import init_tree, run_mcts
+from alphatpu.mcts.tree import child_lookup
 from alphatpu.mcts.newton import cdf_sample, regularized_policy
 
 from alphatpu import oracles
@@ -190,7 +191,12 @@ def test_search_matches_scalar_twin(name, oracle_cls, training, rng):
                 err_msg=f"q {g} {i}",
             )
             for a, c in node.child.items():
-                assert int(tree.child[a, i, g]) == c, (g, i, a)
+                cid = child_lookup(
+                    tree.parent, tree.action_from,
+                    jnp.full((tree.num_games,), i, jnp.int32),
+                    jnp.full((tree.num_games,), a, jnp.int32),
+                )
+                assert int(cid[g]) == c, (g, i, a)
         np.testing.assert_allclose(
             root_pi[:, g], pol, rtol=5e-3, atol=1e-5, err_msg=f"policy {g}"
         )

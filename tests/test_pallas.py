@@ -58,8 +58,8 @@ def test_select_kernel_matches_jnp(game_name, G, V):
         game, tree, probs, CPUCT
     )
     (k_nodes, k_actions, k_node, k_laction, k_alloc, k_rootpi) = select_pallas(
-        tree.prior, tree.wsum, tree.visits, tree.child, tree.expanded,
-        probs, CPUCT, interpret=True,
+        tree.prior, tree.wsum, tree.visits, tree.parent, tree.action_from,
+        tree.expanded, probs, CPUCT, interpret=True,
     )
 
     np.testing.assert_allclose(
@@ -125,7 +125,11 @@ def test_vseg_kernels_match_full(game_name, G, V, vseg):
             prior=jnp.pad(tree.prior, pad),
             wsum=jnp.pad(tree.wsum, pad),
             visits=jnp.pad(tree.visits, pad),
-            child=jnp.pad(tree.child, pad),
+            # unallocated slots must hold parent -1 (a 0 pad would make the
+            # padded rows claim to be children of the root)
+            parent=jnp.pad(tree.parent, [(0, V - vseg), (0, 0)],
+                           constant_values=-1),
+            action_from=jnp.pad(tree.action_from, [(0, V - vseg), (0, 0)]),
             expanded=jnp.pad(tree.expanded, [(0, V - vseg), (0, 0)]),
             states=jax.tree.map(
                 lambda s: jnp.pad(
@@ -137,11 +141,12 @@ def test_vseg_kernels_match_full(game_name, G, V, vseg):
     D = min(game.max_game_length, vseg)
     probs = jax.random.uniform(jax.random.key(42), (D, G))
 
-    full = select_pallas(tree.prior, tree.wsum, tree.visits, tree.child,
-                         tree.expanded, probs, CPUCT, interpret=True)
-    seg = select_pallas(tree.prior, tree.wsum, tree.visits, tree.child,
-                        tree.expanded, probs, CPUCT, interpret=True,
-                        vseg=vseg)
+    full = select_pallas(tree.prior, tree.wsum, tree.visits, tree.parent,
+                         tree.action_from, tree.expanded, probs, CPUCT,
+                         interpret=True)
+    seg = select_pallas(tree.prior, tree.wsum, tree.visits, tree.parent,
+                        tree.action_from, tree.expanded, probs, CPUCT,
+                        interpret=True, vseg=vseg)
     for a, b in zip(full, seg):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -159,3 +164,52 @@ def test_vseg_kernels_match_full(game_name, G, V, vseg):
     np.testing.assert_array_equal(np.asarray(w_seg), np.asarray(w_full))
     np.testing.assert_array_equal(np.asarray(v_seg), np.asarray(v_full))
     np.testing.assert_array_equal(np.asarray(w_seg[:, vseg:, :]), 7.25)
+
+
+@pytest.mark.parametrize("game_name,G,V", [
+    ("tictactoe", 256, 16),
+    ("hex5", 256, 32),
+])
+def test_fused_pipeline_matches_jnp(game_name, G, V, monkeypatch):
+    """The pipelined rollout loop (deferred expand/backup applied inside
+    the next select via select_apply_pallas, interpret mode) produces the
+    SAME final tree and root policy as the jnp reference schedule - the
+    fusion moves only when writes land in HBM, not any math.  Uniform
+    streams are injected so both paths sample identical actions."""
+    game = make_game(game_name)
+    params = init_params(
+        jax.random.key(3), config_for_game(game, width=32, depth=2)
+    )
+    positions = broadcast_initial(game, G)
+    tree0 = init_tree(game, positions, V)
+    D = min(game.max_game_length, V)
+    R = V - 2
+    probs = jax.random.uniform(jax.random.key(11), (R, D, G))
+
+    monkeypatch.setenv("ALPHATPU_NO_KERNELS", "1")
+    ref_tree, ref_pi = run_mcts(
+        game, apply_inference, params, tree0, None,
+        rollouts=R, cpuct=CPUCT, training=True, probs=probs,
+    )
+    monkeypatch.delenv("ALPHATPU_NO_KERNELS")
+    monkeypatch.setenv("ALPHATPU_FORCE_INTERPRET", "1")
+    fused_tree, fused_pi = run_mcts(
+        game, apply_inference, params, tree0, None,
+        rollouts=R, cpuct=CPUCT, training=True, probs=probs,
+    )
+    monkeypatch.delenv("ALPHATPU_FORCE_INTERPRET")
+
+    np.testing.assert_allclose(
+        np.asarray(fused_pi), np.asarray(ref_pi), rtol=1e-6, atol=1e-7
+    )
+    for name in ("parent", "action_from", "expanded", "next_idx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fused_tree, name)),
+            np.asarray(getattr(ref_tree, name)), err_msg=name,
+        )
+    for name in ("prior", "wsum", "visits"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fused_tree, name)),
+            np.asarray(getattr(ref_tree, name)),
+            rtol=1e-6, atol=1e-7, err_msg=name,
+        )
