@@ -123,9 +123,10 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
         backend in ("tpu", "axon")
         and num_games % gb == 0
         and num_nodes % 8 == 0
-        # A > 128 (gobang13/hex13) crashed the TPU worker in Mosaic-compiled
-        # select (results_r3 hex13 entry); those boards take the jnp path
-        # until the kernel is validated there.
+        # A > 128 (gobang13/hex13) kills the TPU worker in Mosaic-compiled
+        # select - reconfirmed twice, including a 16-round chunked run that
+        # rules out the long-execution watchdog; those boards take the jnp
+        # path until the kernel is validated there.
         and num_actions <= 128
         and 12 * block_bytes < _VMEM_LIMIT
     )

@@ -10,7 +10,9 @@ framework's unoptimized round-1 build).  benchmarks/matrix.py runs this
 measurement over the full BASELINE.json config matrix.
 
 Env knobs: BENCH_GAME, BENCH_GAMES, BENCH_ROLLOUTS, BENCH_BF16,
-BENCH_ROUNDS, BENCH_ANCHOR_STEPS_PER_S.
+BENCH_ROUNDS, BENCH_CHUNK (move rounds per jit call; bounds
+single-execution length for the time-shared tunnel),
+BENCH_ANCHOR_STEPS_PER_S.
 """
 import json
 import os
@@ -29,7 +31,7 @@ PEAK_FLOPS_BF16 = 197e12
 
 
 def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
-            rounds=0, seed=0):
+            rounds=0, seed=0, chunk=0):
     """One timed continuous-selfplay generation; returns a result dict.
 
     8192 lanes is the single-chip sweet spot for narrow boards (the whole
@@ -37,6 +39,14 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
     lane count from samples per generation - the reference's 32,768
     games/generation shape is lanes x rounds here (benchmarks/lane_sweep.py
     measures the equivalence).
+
+    ``chunk`` (BENCH_CHUNK) bounds single-execution length: the generation
+    runs as ceil(rounds / chunk) jit calls of ``chunk`` move rounds each,
+    chained through the EpisodeCarry (bit-identical to one long call,
+    tests/test_selfplay.py chained-equivalence).  Executions past ~40 s
+    crash the time-shared tunnel worker, so big shapes (hex13, 32k lanes)
+    need a bound; the calls dispatch asynchronously and run back-to-back
+    on device, so the device-side overhead is nil.
     """
     from functools import partial
 
@@ -46,11 +56,15 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
     from alphatpu.buffer import create_buffer
     from alphatpu.games import make_game
     from alphatpu.nets import apply_inference, config_for_game, init_params
-    from alphatpu.selfplay import SelfplayConfig, selfplay_continuous
+    from alphatpu.selfplay import (
+        SelfplayConfig, make_carry, selfplay_continuous,
+    )
 
     game = make_game(game_name)
     # enough rounds that every lane plays >= 2 full games at worst case
     rounds = rounds or max(168, 2 * game.max_game_length)
+    chunk = chunk or rounds
+    n_chunks = -(-rounds // chunk)
     net_apply = (
         partial(apply_inference, compute_dtype=jnp.bfloat16)
         if bf16 else apply_inference
@@ -61,36 +75,53 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
     n_params = sum(x.size for x in jax.tree.leaves(params))
     cfg = SelfplayConfig(
         num_games=games, rollouts=rollouts, cpuct=1.5,
-        continuous=True, rounds=rounds,
+        continuous=True, rounds=chunk,
     )
     buf = create_buffer(game, capacity=2_000_000)
 
     run = jax.jit(selfplay_continuous, static_argnums=(0, 1, 5))
 
+    def generation(key):
+        """n_chunks chained calls = one rounds-long generation."""
+        carry = make_carry(game, games, key)
+        b, totals = buf, None
+        for _ in range(n_chunks):
+            b, stats, carry = run(game, net_apply, params, b, carry.rng,
+                                  cfg, carry)
+            # recover the additive length sum before cross-chunk summing
+            stats["length_sum"] = stats["mean_length"] * stats[
+                "games_finished"]
+            carried = stats.pop("carried")  # snapshot, not additive
+            totals = stats if totals is None else jax.tree.map(
+                jax.numpy.add, totals, stats)
+        totals["carried"] = carried
+        return totals
+
     # compile + warm run (excluded from timing).  NB: device_get, not
     # block_until_ready - the axon tunnel backend's block_until_ready
     # returns before execution finishes, silently folding server-side
     # compile time into the timed region.
-    _, stats, _ = run(game, net_apply, params, buf, jax.random.key(seed + 1),
-                      cfg)
-    jax.device_get(stats["wins"])
+    jax.device_get(generation(jax.random.key(seed + 1))["wins"])
 
     # the tunnel TPU is time-shared: single-shot timings vary up to ~4x
     # across moments, so take the median of 3 timed runs.
     times = []
     for _rep in range(3):  # same key => identical work every rep
         t0 = time.time()
-        _, stats, _ = run(
-            game, net_apply, params, buf, jax.random.key(seed + 2), cfg
-        )
-        stats = jax.device_get(stats)
+        stats = jax.device_get(generation(jax.random.key(seed + 2)))
         times.append(time.time() - t0)
     dt = sorted(times)[1]
+    stats["mean_length"] = stats["length_sum"] / max(
+        float(stats["games_finished"]), 1.0)
 
     # env-steps: every (game, move) with the game still alive got a full
-    # ``rollouts``-deep decision; that count equals samples_written (+ alive
-    # moves of unfinished games, negligible).
-    env_steps = float(stats["samples_written"])
+    # ``rollouts``-deep decision and produced a training row.  Rows of
+    # episodes still in flight at the bound ("carried") are written when
+    # their episode completes next generation (selfplay.EpisodeCarry -
+    # nothing is ever dropped), so the exact count of search decisions is
+    # written + carried.  At the default rounds >= 2x max game length the
+    # carried share is < 2%.
+    env_steps = float(stats["samples_written"]) + float(stats["carried"])
     steps_per_s = env_steps / dt
     rollouts_per_s = steps_per_s * rollouts
     # NN-math MFU estimate: each rollout evaluates the net once per lane
@@ -104,6 +135,9 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / ANCHOR_STEPS_PER_S, 3),
         "extra": {
+            "env_steps": int(env_steps),
+            "samples_written": int(stats["samples_written"]),
+            "carried": int(stats["carried"]),
             "wall_s": round(dt, 2),
             "rollouts_per_s": round(rollouts_per_s, 1),
             "games": games,
@@ -113,6 +147,8 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
             "nn_mfu_vs_bf16_peak": round(mfu, 4),
             "mean_game_length": round(float(stats["mean_length"]), 2),
             "bf16_inference": bf16,
+            "rounds": rounds,
+            "chunk_rounds": chunk,
         },
     }
 
@@ -123,8 +159,9 @@ def main():
     game_name = os.environ.get("BENCH_GAME", "connect4")
     bf16 = os.environ.get("BENCH_BF16", "") not in ("", "0")
     rounds = int(os.environ.get("BENCH_ROUNDS", 0))
+    chunk = int(os.environ.get("BENCH_CHUNK", 0))
 
-    result = measure(game_name, games, rollouts, bf16, rounds)
+    result = measure(game_name, games, rollouts, bf16, rounds, chunk=chunk)
     anchor = os.environ.get("BENCH_ANCHOR_STEPS_PER_S")
     if anchor:
         result["vs_baseline"] = round(result["value"] / float(anchor), 3)

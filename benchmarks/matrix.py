@@ -22,19 +22,28 @@ ROLLOUTS = int(os.environ.get("MATRIX_ROLLOUTS", 64))
 
 # (game, lanes, bf16) - the BASELINE.json config list, both precisions for
 # the headline rows, plus the 32k-lane shape check.
+# (game, lanes, bf16, chunk, rounds): chunk > 0 bounds single-execution
+# length (rounds per jit call) - executions past ~40 s crash the
+# time-shared tunnel worker, so the big shapes run chained-carry chunks
+# (bit-identical, see bench.measure).  rounds=0 uses the default
+# (>= 2 full games per lane); hex13 runs fewer - its A=169 board takes
+# the jnp select path (see pallas_kernels.select_supported) at ~25x the
+# kernel's per-round cost, and bench counts carried in-flight rows, so a
+# shorter run still measures steady-state throughput exactly.
 CONFIGS = [
-    ("tictactoe", 1024, False),
-    ("connect4", LANES, False),
-    ("connect4", LANES, True),
-    ("connect4", 32768, False),  # the reference's literal 32,768-game shape
-    ("hex7", LANES, False),
-    ("hex7", LANES, True),
-    ("gobang9", LANES, False),
-    ("gobang9", LANES, True),
-    ("reversi6x6", LANES, False),
-    ("reversi8x8", LANES, False),
-    ("reversi8x8", LANES, True),
-    ("hex13", 2048, False),  # A=169 widest-board datapoint
+    ("tictactoe", 1024, False, 0, 0),
+    ("connect4", LANES, False, 0, 0),
+    ("connect4", LANES, True, 0, 0),
+    # the reference's literal 32,768-game shape
+    ("connect4", 32768, False, 56, 0),
+    ("hex7", LANES, False, 0, 0),
+    ("hex7", LANES, True, 0, 0),
+    ("gobang9", LANES, False, 0, 0),
+    ("gobang9", LANES, True, 0, 0),
+    ("reversi6x6", LANES, False, 0, 0),
+    ("reversi8x8", LANES, False, 0, 0),
+    ("reversi8x8", LANES, True, 0, 0),
+    ("hex13", 2048, False, 16, 64),  # A=169 widest-board datapoint
 ]
 
 
@@ -42,9 +51,10 @@ def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results_r2.json")
     results = []
-    for game, lanes, bf16 in CONFIGS:
+    for game, lanes, bf16, chunk, rounds in CONFIGS:
         try:
-            r = measure(game, games=lanes, rollouts=ROLLOUTS, bf16=bf16)
+            r = measure(game, games=lanes, rollouts=ROLLOUTS, bf16=bf16,
+                        chunk=chunk, rounds=rounds)
         except Exception as e:  # record the failure instead of dying
             r = {"metric": f"{game}_g{lanes}" + ("_bf16" if bf16 else ""),
                  "error": f"{type(e).__name__}: {e}"}

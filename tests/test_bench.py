@@ -17,3 +17,17 @@ def test_measure_smoke():
     assert abs(ex["rollouts_per_s"] - r["value"] * 8) < 8  # rounded fields
     assert ex["params"] > 0 and ex["net"] == "6x128"
     assert 0 < ex["mean_game_length"] <= 9
+
+
+def test_measure_chunked_same_counts():
+    """Chunked execution (bounded single-execution length) plays the same
+    games: sample counts and mean length match the single-call run exactly
+    (the carry-chained equivalence, tests/test_selfplay.py, as seen through
+    the bench path)."""
+    single = measure("tictactoe", games=128, rollouts=8, rounds=12)
+    chunked = measure("tictactoe", games=128, rollouts=8, rounds=12, chunk=4)
+    assert chunked["extra"]["chunk_rounds"] == 4
+    assert (chunked["extra"]["mean_game_length"]
+            == single["extra"]["mean_game_length"])
+    # identical seeds + chained carry => identical env-step totals
+    assert chunked["extra"]["env_steps"] == single["extra"]["env_steps"]
