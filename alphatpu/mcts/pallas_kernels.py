@@ -123,11 +123,6 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
         backend in ("tpu", "axon")
         and num_games % gb == 0
         and num_nodes % 8 == 0
-        # A > 128 (gobang13/hex13) kills the TPU worker in Mosaic-compiled
-        # select - reconfirmed twice, including a 16-round chunked run that
-        # rules out the long-execution watchdog; those boards take the jnp
-        # path until the kernel is validated there.
-        and num_actions <= 128
         and 12 * block_bytes < _VMEM_LIMIT
     )
 
@@ -406,11 +401,17 @@ def _select_apply_kernel(prior_in, wsum_in, visits_in, parent_ref, af_ref,
 
     # --- pending prior-row write (the deferred expand, search.expand) ---
     pleaf = pu_leaf[:]  # [1, Gb] i32
-    write = pu_write[:]  # [1, Gb] f32 {0,1}
+    # A full tree (next_idx == V) yields leaf == V: no slot was allocated,
+    # so nothing may be written.  Masking write (rather than clamping hi)
+    # keeps the chunk loop from ever forming an out-of-range pl.ds base
+    # whose clamped store would land on rows V-8..V-1 with a mask computed
+    # from the unclamped base (corrupting node V-8's prior row).
+    write = jnp.where(pleaf < V, pu_write[:], 0.0)  # [1, Gb] f32 {0,1}
     newp = pu_newp[:]  # [A, Gb]
     sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
     lo = jnp.min(jnp.where(write > 0, pleaf, V - 1))
     hi = jnp.max(jnp.where(write > 0, pleaf, 0))
+    hi = jnp.minimum(hi, V - 1)
     lo8 = (lo // 8) * 8
     nch = hi // 8 - lo // 8 + 1  # <= 0 when no lane writes
 

@@ -503,9 +503,13 @@ def run_mcts(
         carry, _ = jax.lax.scan(the_body, carry, xs)
     if fused:
         tree, root_pi, pend = carry
-        # flush the last rollout's deferred writes
+        # flush the last rollout's deferred writes; the scatter is gated on
+        # pend.write so a rollouts == 0 call (empty pending, leaf 0) does
+        # not zero the root's prior row of a pre-grown tree, matching the
+        # mask semantics of the kernel's apply phase
         tree = tree._replace(prior=scatter_stat(
-            tree.prior, node_onehot(V, pend.leaf), pend.newp))
+            tree.prior, node_onehot(V, pend.leaf), pend.newp,
+            mask=pend.write))
         tree = backup_flush(tree, pend)
     else:
         tree, root_pi = carry

@@ -53,3 +53,4 @@ if __name__ == "__main__":
     check("connect4")       # A=7, narrow
     check("reversi6x6")     # A=37, pass action
     check("hex7")           # A=49, wide block path
+    check("hex13", G=256)   # A=169, widest board (> 128 sublanes)

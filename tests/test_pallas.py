@@ -213,3 +213,52 @@ def test_fused_pipeline_matches_jnp(game_name, G, V, monkeypatch):
             np.asarray(getattr(ref_tree, name)),
             rtol=1e-6, atol=1e-7, err_msg=name,
         )
+
+
+@pytest.mark.parametrize("game_name,G,V", [
+    ("tictactoe", 256, 32),
+    ("hex5", 256, 32),
+])
+def test_segmented_production_path_matches_jnp(game_name, G, V, monkeypatch):
+    """The PRODUCTION kernel configuration - probs=None, V % 32 == 0,
+    rollouts == V, so run_mcts takes the segmented rollout loop calling
+    select_apply_pallas with vseg-bounded blocks and relying on
+    input/output aliasing to pass rows >= vseg through - against the jnp
+    reference under the same rng key (probs=None draws the identical
+    uniform stream in both paths, so results must match exactly up to
+    kernel float tolerance)."""
+    game = make_game(game_name)
+    params = init_params(
+        jax.random.key(5), config_for_game(game, width=32, depth=2)
+    )
+    positions = broadcast_initial(game, G)
+    tree0 = init_tree(game, positions, V)
+    rng = jax.random.key(19)
+
+    monkeypatch.setenv("ALPHATPU_NO_KERNELS", "1")
+    ref_tree, ref_pi = run_mcts(
+        game, apply_inference, params, tree0, rng,
+        rollouts=V, cpuct=CPUCT, training=True,
+    )
+    monkeypatch.delenv("ALPHATPU_NO_KERNELS")
+    monkeypatch.setenv("ALPHATPU_FORCE_INTERPRET", "1")
+    seg_tree, seg_pi = run_mcts(
+        game, apply_inference, params, tree0, rng,
+        rollouts=V, cpuct=CPUCT, training=True,
+    )
+    monkeypatch.delenv("ALPHATPU_FORCE_INTERPRET")
+
+    np.testing.assert_allclose(
+        np.asarray(seg_pi), np.asarray(ref_pi), rtol=1e-6, atol=1e-7
+    )
+    for name in ("parent", "action_from", "expanded", "next_idx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(seg_tree, name)),
+            np.asarray(getattr(ref_tree, name)), err_msg=name,
+        )
+    for name in ("prior", "wsum", "visits"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(seg_tree, name)),
+            np.asarray(getattr(ref_tree, name)),
+            rtol=1e-6, atol=1e-7, err_msg=name,
+        )
