@@ -60,15 +60,17 @@ _VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic default is 16 MB; v5e has 128 MB
 
 
 def games_block(num_actions: int, num_nodes: int | None = None,
-                num_games: int | None = None) -> int:
+                num_games: int | None = None, itemsize: int = 4) -> int:
     """Lane-block width: 256 when the [A, V, 256] stat blocks fit the VMEM
     budget (fewer grid steps, better overhead amortization), else 128.
-    Callers that know G pass it so the choice stays divisible."""
+    Callers that know G pass it so the choice stays divisible.
+    ``itemsize`` is the stat storage width (4 = f32, 2 = bf16); bf16
+    storage halves the block bytes, so wider boards keep the 256 block."""
     force = os.environ.get("ALPHATPU_GB")  # measurement override (A/B)
     gb = int(force) if force else 256
     if not force and num_actions > 16 and not (
         num_nodes is not None
-        and 12 * num_actions * num_nodes * 256 * 4 < _VMEM_LIMIT
+        and 12 * num_actions * num_nodes * 256 * itemsize < _VMEM_LIMIT
     ):
         gb = 128
     if num_games is not None and num_games % gb != 0:
@@ -85,22 +87,24 @@ def _narrow(num_actions: int) -> bool:
 
 
 def _compiler_params(num_actions: int, num_nodes: int,
-                     num_games: int | None = None):
+                     num_games: int | None = None, itemsize: int = 4):
     # Only big stat blocks need a raised scoped-vmem ceiling; the default
     # 16 MB budget compiles measurably better schedules when it fits.  The
     # kernels keep ~3 block-sized values live (carries + the 3D edge mask)
     # plus in/out buffers, so gate well below the 16 MB default.
-    gb = games_block(num_actions, num_nodes, num_games)
-    block_bytes = num_actions * num_nodes * gb * 4
+    gb = games_block(num_actions, num_nodes, num_games, itemsize)
+    block_bytes = num_actions * num_nodes * gb * itemsize
     if 12 * block_bytes < 8 * 1024 * 1024:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
+def select_supported(num_games: int, num_nodes: int, num_actions: int,
+                     itemsize: int = 4) -> bool:
     """The kernel path needs a TPU backend (the axon tunnel platform is a
-    TPU), tile-aligned dims (G on the 128 lanes, V on the 8 sublanes) and
-    stat blocks that fit VMEM.
+    TPU), tile-aligned dims (G on the 128 lanes, V on the stat dtype's
+    sublane tile - 8 rows for f32, 16 for bf16) and stat blocks that fit
+    VMEM.
 
     The VMEM gate must *provably* cover the kernels' live blocks, because a
     near-limit shape fails Mosaic compilation outright instead of falling
@@ -109,20 +113,22 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int) -> bool:
     select holds 4 double-buffered stat inputs = 8 blocks plus [A, Gb]-sized
     scratch/rows.  12 blocks of headroom covers both with a 2-block margin
     for Mosaic temporaries."""
+    tile = 32 // itemsize  # sublane rows per stat tile
     if os.environ.get("ALPHATPU_NO_KERNELS"):  # debug: force the jnp path
         return False
     if os.environ.get("ALPHATPU_FORCE_INTERPRET"):
         # CI hook: run the kernel path through the Pallas interpreter on
         # any backend (tests/test_pallas.py full-pipeline parity)
-        return num_games % games_block(num_actions, num_nodes,
-                                       num_games) == 0 and num_nodes % 8 == 0
+        return num_games % games_block(
+            num_actions, num_nodes, num_games, itemsize
+        ) == 0 and num_nodes % tile == 0
     backend = jax.default_backend()
-    gb = games_block(num_actions, num_nodes, num_games)
-    block_bytes = num_actions * num_nodes * gb * 4
+    gb = games_block(num_actions, num_nodes, num_games, itemsize)
+    block_bytes = num_actions * num_nodes * gb * itemsize
     return (
         backend in ("tpu", "axon")
         and num_games % gb == 0
-        and num_nodes % 8 == 0
+        and num_nodes % tile == 0
         and 12 * block_bytes < _VMEM_LIMIT
     )
 
@@ -222,10 +228,11 @@ def _walk(prior_ref, wsum_ref, visits_ref, parent_ref, af_ref,
         return jnp.logical_and(d < max_depth, jnp.min(found) < 0.5)
 
     if _narrow(A):
-        # keep per-action slices live in registers (fast at tiny A)
-        prior_s = [prior_ref[a] for a in range(A)]
-        wsum_s = [wsum_ref[a] for a in range(A)]
-        visits_s = [visits_ref[a] for a in range(A)]
+        # keep per-action slices live in registers (fast at tiny A); loads
+        # cast bf16 storage to f32 once - all walk math is f32
+        prior_s = [prior_ref[a].astype(jnp.float32) for a in range(A)]
+        wsum_s = [wsum_ref[a].astype(jnp.float32) for a in range(A)]
+        visits_s = [visits_ref[a].astype(jnp.float32) for a in range(A)]
 
         def gather_rows(node, found):
             """Stat rows of each lane's node: [1, Gb] expanded plus
@@ -260,11 +267,14 @@ def _walk(prior_ref, wsum_ref, visits_ref, parent_ref, af_ref,
             exp = jnp.sum(expanded * oh, axis=0, keepdims=True)
             for a in range(A):
                 p_scr[pl.ds(a, 1)] = jnp.sum(
-                    prior_ref[a] * oh, axis=0, keepdims=True)
+                    prior_ref[a].astype(jnp.float32) * oh,
+                    axis=0, keepdims=True)
                 w_scr[pl.ds(a, 1)] = jnp.sum(
-                    wsum_ref[a] * oh, axis=0, keepdims=True)
+                    wsum_ref[a].astype(jnp.float32) * oh,
+                    axis=0, keepdims=True)
                 v_scr[pl.ds(a, 1)] = jnp.sum(
-                    visits_ref[a] * oh, axis=0, keepdims=True)
+                    visits_ref[a].astype(jnp.float32) * oh,
+                    axis=0, keepdims=True)
             return exp, p_scr[:], w_scr[:], v_scr[:]
 
     def body(st):
@@ -329,14 +339,19 @@ def _select_kernel(prior_ref, wsum_ref, visits_ref, parent_ref, af_ref,
 def _backup_edges(wsum_out, visits_out, nodes_ref, actions_ref, length,
                   value, *, num_actions):
     """Per recorded path edge: wsum += parity-flipped value, visits += 1 -
-    a read-modify-write of only the 8-sublane node chunks the edges land
+    a read-modify-write of only the tile-sized node chunks the edges land
     in (node ids are allocation-ordered: depth 0 is always the root chunk,
-    deeper edges span at most the current allocation count)."""
+    deeper edges span at most the current allocation count).  Chunks are
+    one sublane tile of the storage dtype (8 rows f32, 16 rows bf16) so
+    every dynamic slice stays tile-aligned; adds run in f32 and round to
+    the storage dtype on store - one rounding per edge per rollout, the
+    same point the jnp backup twin rounds at."""
     A = num_actions
     V = wsum_out.shape[1]
     Gb = length.shape[1]
+    rows = 32 // wsum_out.dtype.itemsize  # sublane tile of the storage
     aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
-    sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
+    sio = jax.lax.broadcasted_iota(jnp.int32, (rows, Gb), 0)
     max_len = jnp.max(length)
 
     def body(d, _):
@@ -349,15 +364,21 @@ def _backup_edges(wsum_out, visits_out, nodes_ref, actions_ref, length,
         amc = am * contrib
         lo = jnp.min(jnp.where(valid, nodes, V - 1))
         hi = jnp.max(jnp.where(valid, nodes, 0))
-        lo8 = (lo // 8) * 8
-        nch = hi // 8 - lo // 8 + 1  # <= 0 if no lane is valid at depth d
+        lo_r = (lo // rows) * rows
+        nch = hi // rows - lo // rows + 1  # <= 0 if no lane valid at depth d
 
         def chunk(j, c):
-            base = pl.multiple_of(lo8 + j * 8, 8)
+            base = pl.multiple_of(lo_r + j * rows, rows)
             # invalid lanes (node -1) never match a chunk row
-            vm = ((sio + base) == nodes).astype(jnp.float32)  # [8, Gb]
-            wsum_out[:, pl.ds(base, 8), :] += amc[:, None, :] * vm[None]
-            visits_out[:, pl.ds(base, 8), :] += am[:, None, :] * vm[None]
+            vm = ((sio + base) == nodes).astype(jnp.float32)  # [rows, Gb]
+            cw = wsum_out[:, pl.ds(base, rows), :]
+            wsum_out[:, pl.ds(base, rows), :] = (
+                cw.astype(jnp.float32) + amc[:, None, :] * vm[None]
+            ).astype(cw.dtype)
+            cv = visits_out[:, pl.ds(base, rows), :]
+            visits_out[:, pl.ds(base, rows), :] = (
+                cv.astype(jnp.float32) + am[:, None, :] * vm[None]
+            ).astype(cv.dtype)
             return c
 
         jax.lax.fori_loop(0, nch, chunk, 0)
@@ -404,23 +425,27 @@ def _select_apply_kernel(prior_in, wsum_in, visits_in, parent_ref, af_ref,
     # A full tree (next_idx == V) yields leaf == V: no slot was allocated,
     # so nothing may be written.  Masking write (rather than clamping hi)
     # keeps the chunk loop from ever forming an out-of-range pl.ds base
-    # whose clamped store would land on rows V-8..V-1 with a mask computed
-    # from the unclamped base (corrupting node V-8's prior row).
+    # whose clamped store would land on the last tile's rows with a mask
+    # computed from the unclamped base (corrupting that tile's prior rows).
     write = jnp.where(pleaf < V, pu_write[:], 0.0)  # [1, Gb] f32 {0,1}
-    newp = pu_newp[:]  # [A, Gb]
-    sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
+    newp = pu_newp[:]  # [A, Gb] f32
+    rows = 32 // prior_out.dtype.itemsize  # sublane tile of the storage
+    sio = jax.lax.broadcasted_iota(jnp.int32, (rows, Gb), 0)
     lo = jnp.min(jnp.where(write > 0, pleaf, V - 1))
     hi = jnp.max(jnp.where(write > 0, pleaf, 0))
     hi = jnp.minimum(hi, V - 1)
-    lo8 = (lo // 8) * 8
-    nch = hi // 8 - lo // 8 + 1  # <= 0 when no lane writes
+    lo_r = (lo // rows) * rows
+    nch = hi // rows - lo // rows + 1  # <= 0 when no lane writes
 
     def pchunk(j, c):
-        base = pl.multiple_of(lo8 + j * 8, 8)
-        m = jnp.logical_and((sio + base) == pleaf, write > 0)  # [8, Gb]
-        cur = prior_out[:, pl.ds(base, 8), :]
-        prior_out[:, pl.ds(base, 8), :] = jnp.where(
-            m[None], newp[:, None, :], cur)
+        base = pl.multiple_of(lo_r + j * rows, rows)
+        m = jnp.logical_and((sio + base) == pleaf, write > 0)  # [rows, Gb]
+        cur = prior_out[:, pl.ds(base, rows), :]
+        # written rows round newp to the storage dtype (the same cast
+        # tree.scatter_stat applies); untouched rows round-trip exactly
+        prior_out[:, pl.ds(base, rows), :] = jnp.where(
+            m[None], newp[:, None, :], cur.astype(jnp.float32)
+        ).astype(cur.dtype)
         return c
 
     jax.lax.fori_loop(0, nch, pchunk, 0)
@@ -457,9 +482,10 @@ def select_pallas(prior, wsum, visits, parent, action_from, expanded, probs,
     interpret = interpret or bool(os.environ.get("ALPHATPU_FORCE_INTERPRET"))
     A, V, G = prior.shape
     D = probs.shape[0]
+    isz = prior.dtype.itemsize
     Vb = vseg or V
-    assert Vb % 8 == 0 and Vb <= V
-    Gb = games_block(A, V, G)
+    assert Vb % (32 // isz) == 0 and Vb <= V
+    Gb = games_block(A, V, G, isz)
     assert G % Gb == 0
     grid = (G // Gb,)
 
@@ -491,7 +517,7 @@ def select_pallas(prior, wsum, visits, parent, action_from, expanded, probs,
                   dg_spec],
         out_specs=(dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
         scratch_shapes=[pltpu.VMEM((A, Gb), jnp.float32)] * 3,
-        compiler_params=_compiler_params(A, V, G),
+        compiler_params=_compiler_params(A, V, G, isz),
         interpret=interpret,
         # expanded travels as f32 (i8 tiles are 32-sublane); parent and
         # action_from are i32 [V, G] planes - 2/A the bytes of the child
@@ -520,9 +546,10 @@ def select_apply_pallas(prior, wsum, visits, parent, action_from, expanded,
     interpret = interpret or bool(os.environ.get("ALPHATPU_FORCE_INTERPRET"))
     A, V, G = prior.shape
     D = probs.shape[0]
+    isz = prior.dtype.itemsize
     Vb = vseg or V
-    assert Vb % 8 == 0 and Vb <= V
-    Gb = games_block(A, V, G)
+    assert Vb % (32 // isz) == 0 and Vb <= V
+    Gb = games_block(A, V, G, isz)
     assert G % Gb == 0
     grid = (G // Gb,)
 
@@ -543,9 +570,9 @@ def select_apply_pallas(prior, wsum, visits, parent, action_from, expanded,
         functools.partial(_select_apply_kernel, cpuct=cpuct, num_actions=A,
                           max_depth=D),
         out_shape=(
-            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
-            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
-            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
+            jax.ShapeDtypeStruct((A, V, G), prior.dtype),
+            jax.ShapeDtypeStruct((A, V, G), wsum.dtype),
+            jax.ShapeDtypeStruct((A, V, G), visits.dtype),
             jax.ShapeDtypeStruct((D, G), jnp.int32),
             jax.ShapeDtypeStruct((D, G), jnp.int32),
             jax.ShapeDtypeStruct((1, G), jnp.int32),
@@ -562,7 +589,7 @@ def select_apply_pallas(prior, wsum, visits, parent, action_from, expanded,
                    dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
         input_output_aliases={0: 0, 1: 1, 2: 2},
         scratch_shapes=[pltpu.VMEM((A, Gb), jnp.float32)] * 3,
-        compiler_params=_compiler_params(A, V, G),
+        compiler_params=_compiler_params(A, V, G, isz),
         interpret=interpret,
     )(prior, wsum, visits, parent, action_from,
       expanded.astype(jnp.float32), probs,
@@ -611,9 +638,10 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
     interpret = interpret or bool(os.environ.get("ALPHATPU_FORCE_INTERPRET"))
     A, V, G = wsum.shape
     D = path_nodes.shape[0]
+    isz = wsum.dtype.itemsize
     Vb = vseg or V
-    assert Vb % 8 == 0 and Vb <= V
-    Gb = games_block(A, V, G)
+    assert Vb % (32 // isz) == 0 and Vb <= V
+    Gb = games_block(A, V, G, isz)
     grid = (G // Gb,)
 
     def avg(i):
@@ -629,15 +657,15 @@ def backup_pallas(wsum, visits, path_nodes, path_actions, path_length,
     w2, v2 = pl.pallas_call(
         functools.partial(_backup_kernel, num_actions=A),
         out_shape=(
-            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
-            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
+            jax.ShapeDtypeStruct((A, V, G), wsum.dtype),
+            jax.ShapeDtypeStruct((A, V, G), visits.dtype),
         ),
         grid=grid,
         in_specs=[dg_spec, dg_spec, row_spec, row_spec,
                   stat_spec, stat_spec],
         out_specs=(stat_spec, stat_spec),
         input_output_aliases={4: 0, 5: 1},
-        compiler_params=_compiler_params(A, V, G),
+        compiler_params=_compiler_params(A, V, G, isz),
         interpret=interpret,
     )(
         path_nodes, path_actions, path_length[None, :],

@@ -79,7 +79,13 @@ def node_policy(prior_row, wsum_row, visits_row, cpuct):
     """Regularized policy for gathered node rows ([A, G] each): the Newton
     solve on current stats, with the fresh-node shortcut - a node whose
     edges have no visits samples its raw stored prior, exactly like the
-    reference's prior->policy copy at expansion (mcts_gpu.jl:297-299)."""
+    reference's prior->policy copy at expansion (mcts_gpu.jl:297-299).
+
+    Rows may arrive in the bf16 storage dtype (tree.stat_dtype_for); the
+    math always runs in f32, mirroring the kernels' load casts."""
+    prior_row = prior_row.astype(jnp.float32)
+    wsum_row = wsum_row.astype(jnp.float32)
+    visits_row = visits_row.astype(jnp.float32)
     q_row = jnp.where(
         visits_row > 0, wsum_row / jnp.maximum(visits_row, 1.0), 0.0
     )
@@ -168,7 +174,8 @@ def select(game, tree: Tree, probs, cpuct, vseg: int | None = None):
     past the live span hold zeros that the walk never consumes)."""
     from .pallas_kernels import select_pallas, select_supported
 
-    if select_supported(tree.num_games, tree.num_nodes, tree.num_actions):
+    if select_supported(tree.num_games, tree.num_nodes, tree.num_actions,
+                        tree.prior.dtype.itemsize):
         pnodes, pactions, node, leaf_action, needs_alloc, root_pi = (
             select_pallas(
                 tree.prior, tree.wsum, tree.visits, tree.parent,
@@ -284,7 +291,8 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result,
     A = tree.num_actions
     act_ids = jnp.arange(A)[:, None]
     leaf_value = leaf_value_of(leaf_player, value_nn, done, result)
-    if select_supported(tree.num_games, tree.num_nodes, tree.num_actions):
+    if select_supported(tree.num_games, tree.num_nodes, tree.num_actions,
+                        tree.prior.dtype.itemsize):
         wsum, visits = backup_pallas(
             tree.wsum, tree.visits,
             path.nodes, path.actions, path.length, leaf_value, vseg=vseg,
@@ -307,9 +315,16 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result,
         oh = node_onehot(V, nodes) & valid[None, :]
         edge = (act_ids == actions[None, :])[:, None, :] & oh[None]
         hit = edge.astype(jnp.float32)
+        # f32 add, rounded to the storage dtype on write-back: each path
+        # edge is a distinct tree edge (one add per rollout), so this
+        # rounds exactly once per edge update - the same point the Pallas
+        # backup rounds at, keeping kernel-vs-jnp parity bit-exact even
+        # with bf16 storage.
+        sd = tree.wsum.dtype
         tree = tree._replace(
-            wsum=tree.wsum + hit * contrib[None, None, :],
-            visits=tree.visits + hit,
+            wsum=(tree.wsum.astype(jnp.float32)
+                  + hit * contrib[None, None, :]).astype(sd),
+            visits=(tree.visits.astype(jnp.float32) + hit).astype(sd),
         )
         return tree, d + 1
 
@@ -409,7 +424,7 @@ def run_mcts(
         xs = probs
         get_probs = lambda p: p
 
-    fused = select_supported(G, V, A)
+    fused = select_supported(G, V, A, tree.prior.dtype.itemsize)
 
     def nn_eval(tree, node, leaf_action, needs_alloc):
         leaf_states = leaf_positions(game, tree, node, leaf_action,
@@ -480,9 +495,12 @@ def run_mcts(
     # move at zero math change.  Requires a freshly reset tree (every
     # production caller resets before searching); pass
     # ``segment_rollouts=False`` to search a pre-grown tree.
+    # vseg values must respect the stat blocks' sublane tile: 8 rows for
+    # f32 storage, 16 for bf16 (tree.stat_dtype_for)
+    tile = 32 // tree.prior.dtype.itemsize
     segment = (
         segment_rollouts
-        and V % 32 == 0
+        and V % (2 * tile) == 0
         and rollouts == V
         and probs is None
     )
@@ -493,7 +511,8 @@ def run_mcts(
     else:
         carry = (tree, jnp.zeros((A, G), jnp.float32))
     if segment:
-        bounds = (V // 4, V // 2, V)
+        b1 = max(tile, -(-(V // 4) // tile) * tile)  # V/4 rounded to tile
+        bounds = tuple(dict.fromkeys((b1, V // 2, V)))
         r0 = 0
         for vseg in bounds:
             seg_body = functools.partial(the_body, vseg=vseg)

@@ -16,7 +16,7 @@ import pytest
 from alphatpu.games import make_game
 from alphatpu.mcts.pallas_kernels import backup_pallas, select_pallas
 from alphatpu.mcts.search import backup, descend, run_mcts
-from alphatpu.mcts.tree import init_tree
+from alphatpu.mcts.tree import init_tree, stat_dtype_for
 from alphatpu.nets import apply_inference, config_for_game, init_params
 from alphatpu.selfplay import broadcast_initial
 
@@ -213,6 +213,68 @@ def test_fused_pipeline_matches_jnp(game_name, G, V, monkeypatch):
             np.asarray(getattr(ref_tree, name)),
             rtol=1e-6, atol=1e-7, err_msg=name,
         )
+
+
+def test_stat_dtype_for(monkeypatch):
+    """bf16 storage is opt-in (measured slower on TPU: the gather loop is
+    VPU-bound and bf16 loads add converts) and only engages when every
+    stored quantity is exactly representable (integer visit counts <= 256)
+    and the node count keeps the (16, 128) bf16 tile alignment."""
+    assert stat_dtype_for(64) == jnp.float32  # default: f32 storage
+    monkeypatch.setenv("ALPHATPU_BF16_STATS", "1")
+    assert stat_dtype_for(64) == jnp.bfloat16
+    assert stat_dtype_for(32) == jnp.bfloat16
+    assert stat_dtype_for(256) == jnp.bfloat16
+    assert stat_dtype_for(100) == jnp.float32  # not 16-row aligned
+    assert stat_dtype_for(512) == jnp.float32  # counts exceed bf16 ints
+
+
+@pytest.mark.parametrize("game_name,G,V", [
+    ("tictactoe", 256, 32),
+    ("hex5", 256, 32),
+])
+def test_bf16_stats_kernel_matches_jnp(game_name, G, V, monkeypatch):
+    """bf16 stat storage (the production default, tree.stat_dtype_for): the
+    kernel path and the jnp twin run all math in f32 and round to bf16 at
+    the identical write-back points (one rounding per edge add, one per
+    prior-row write), so kernel-vs-jnp parity stays BIT-exact - not merely
+    tolerance-close - in the compressed production configuration
+    (segmented vseg loop, 16-row bf16 tiles, aliased write-back)."""
+    game = make_game(game_name)
+    params = init_params(
+        jax.random.key(5), config_for_game(game, width=32, depth=2)
+    )
+    positions = broadcast_initial(game, G)
+    tree0 = init_tree(game, positions, V, stat_dtype=jnp.bfloat16)
+    rng = jax.random.key(23)
+
+    monkeypatch.setenv("ALPHATPU_NO_KERNELS", "1")
+    ref_tree, ref_pi = run_mcts(
+        game, apply_inference, params, tree0, rng,
+        rollouts=V, cpuct=CPUCT, training=True,
+    )
+    monkeypatch.delenv("ALPHATPU_NO_KERNELS")
+    monkeypatch.setenv("ALPHATPU_FORCE_INTERPRET", "1")
+    k_tree, k_pi = run_mcts(
+        game, apply_inference, params, tree0, rng,
+        rollouts=V, cpuct=CPUCT, training=True,
+    )
+    monkeypatch.delenv("ALPHATPU_FORCE_INTERPRET")
+
+    np.testing.assert_allclose(
+        np.asarray(k_pi), np.asarray(ref_pi), rtol=1e-6, atol=1e-7
+    )
+    for name in ("parent", "action_from", "expanded", "next_idx",
+                 "prior", "wsum", "visits"):
+        a = np.asarray(getattr(k_tree, name))
+        b = np.asarray(getattr(ref_tree, name))
+        assert a.dtype == b.dtype, name
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    assert k_tree.wsum.dtype == jnp.bfloat16
+    # visit counts are exact integers in bf16 up to 256
+    np.testing.assert_array_equal(
+        np.asarray(k_tree.visits, np.float32) % 1.0, 0.0
+    )
 
 
 @pytest.mark.parametrize("game_name,G,V", [
