@@ -48,6 +48,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -131,6 +132,75 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int,
         and num_nodes % tile == 0
         and 12 * block_bytes < _VMEM_LIMIT
     )
+
+
+# ---------------------------------------------------------------------------
+# packed (wsum | visits) stat plane
+# ---------------------------------------------------------------------------
+# The select walk is VPU-bound on the one-hot stat gathers (3 planes x A x V
+# multiply-reduces per depth step; capping the Newton solve changes nothing,
+# benchmarks/select_micro.py).  Packing the two mutable stats into ONE int32
+# plane removes a whole plane from every gather (3 -> 2, ~33% of the hot
+# loop) and turns the backup read-modify-write into a single integer add.
+# (Plain bf16 *storage* was measured slower because each gathered element
+# needed a real bf16->f32 convert inside the inner loop; the integer plane
+# unpacks per gathered [A, Gb] ROW, not per [V] element.)
+#
+# Representation: one int32 word per edge = [wsum u16 fixed-point | visits
+# u16 integer].  wsum is stored as round(wsum * S) with S = value_scale(R)
+# a power of two chosen so R * S < 2**16 never overflows the high half.
+# The plane is int32 (not uint32) because Mosaic implements signed but not
+# unsigned reductions, and the one-hot gather is a sum-reduce.
+#
+# Why fixed-point and not bf16 bit-halves: with BOTH halves as integers,
+# the whole backup read-modify-write collapses to ONE integer add -
+# ``packed += edge_mask * ((contrib * S) << 16 | 1)`` - two vector ops per
+# chunk element, where a float-packed form needs an unpack/f32-add/repack
+# chain (~11 ops) that was measured to eat the entire gather saving.
+#
+# Precision contract: the ONLY quantization in the scheme is the leaf
+# value rounded to the 1/S grid (quantize_value) BEFORE it enters a
+# backup.  Both per-edge contributions (v and 1 - v) then lie on the grid,
+# every f32 sum of <= R grid values is exact (R * S < 2**16 <= 2**24 f32
+# integers), and the fixed-point kernel adds the identical integers - so
+# the jnp twin needs ONE change only (quantize the leaf value) and matches
+# the kernel BIT-EXACTLY, with no per-add rounding anywhere.  For the
+# production R = 64 the grid is 1/512 (~0.2% of the value range); terminal
+# values {0, 1/2, 1} are exactly on-grid for every S.
+
+
+def value_scale(rollouts: int) -> int:
+    """Largest power-of-two S with rollouts * S < 2**16: the fixed-point
+    scale of the packed wsum half (1/S = value quantization step)."""
+    s = 1
+    while rollouts * (s * 2) < (1 << 16):
+        s *= 2
+    return s
+
+
+def quantize_value(v, scale: int):
+    """Round a leaf value in [0, 1] to the 1/scale grid (the one lossy
+    step of the packed representation)."""
+    return jnp.round(v * scale) * (1.0 / scale)
+
+
+def pack_stats(wsum, visits, scale: int):
+    """f32, f32 -> i32: [round(wsum * scale) u16 | visits u16].  Lossless
+    for wsum already on the 1/scale grid and integer visits."""
+    wfix = jnp.round(wsum * scale).astype(jnp.int32)
+    return (wfix << 16) | visits.astype(jnp.int32)
+
+
+def unpack_wsum(packed, scale: int):
+    """High half -> f32 (exact: fix * (1/scale) with 1/scale a power of
+    two).  Logical shift: the high half may use bit 31."""
+    fix = jax.lax.shift_right_logical(packed, 16)
+    return fix.astype(jnp.float32) * (1.0 / scale)
+
+
+def unpack_visits(packed):
+    """Low half -> f32."""
+    return (packed & np.int32(0xFFFF)).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -597,6 +667,304 @@ def select_apply_pallas(prior, wsum, visits, parent, action_from, expanded,
       pu_value[None, :], pu_leaf[None, :].astype(jnp.int32), pu_newp,
       pu_write[None, :].astype(jnp.float32))
     return (prior2, wsum2, visits2, nodes, actions, node[0], laction[0],
+            alloc[0] != 0, rootpi)
+
+
+# ---------------------------------------------------------------------------
+# packed-plane fused kernel (the production rollout path)
+# ---------------------------------------------------------------------------
+
+
+def _backup_edges_packed(packed_out, nodes_ref, actions_ref, length, value,
+                         *, num_actions, scale):
+    """The backup edge updates on the packed (wsum_fix | visits) plane:
+    with both halves integers, updating BOTH stats of an edge is ONE
+    integer add of ``(contrib * scale) << 16 | 1`` - two vector ops per
+    chunk element (mask-multiply + add), cheaper than even the f32
+    kernel's two-plane multiply-adds.  ``value`` must already be on the
+    1/scale grid (quantize_value), so ``contrib * scale`` is an exact
+    integer."""
+    A = num_actions
+    V = packed_out.shape[1]
+    Gb = length.shape[1]
+    aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
+    sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
+    max_len = jnp.max(length)
+
+    def body(d, _):
+        nodes = nodes_ref[pl.ds(d, 1), :]  # [1, Gb]; -1 = nothing recorded
+        actions = actions_ref[pl.ds(d, 1), :]
+        valid = nodes >= 0
+        k = length - 1 - d
+        contrib = jnp.where(k % 2 == 0, 1.0 - value, value)  # [1, Gb]
+        cfix = (contrib * scale).astype(jnp.int32)  # exact grid integers
+        am = (aio == actions).astype(jnp.int32)  # [A, Gb]
+        adelta = am * ((cfix << 16) + 1)  # [A, Gb] i32
+        lo = jnp.min(jnp.where(valid, nodes, V - 1))
+        hi = jnp.max(jnp.where(valid, nodes, 0))
+        lo8 = (lo // 8) * 8
+        nch = hi // 8 - lo // 8 + 1  # <= 0 if no lane valid at depth d
+
+        def chunk(j, c):
+            base = pl.multiple_of(lo8 + j * 8, 8)
+            # invalid lanes (node -1) never match a chunk row
+            vm = ((sio + base) == nodes).astype(jnp.int32)  # [8, Gb]
+            packed_out[:, pl.ds(base, 8), :] += adelta[:, None, :] * vm[None]
+            return c
+
+        jax.lax.fori_loop(0, nch, chunk, 0)
+        return _
+
+    jax.lax.fori_loop(0, max_len, body, 0)
+
+
+def _walk_packed(prior_ref, packed_ref, parent_ref, af_ref, expanded_ref,
+                 probs_ref, nodes_out, actions_out, leaf_out, laction_out,
+                 alloc_out, rootpi_out, p_scr, pk_scr,
+                 *, cpuct, num_actions, max_depth, scale):
+    """The selection walk over (prior f32, packed u32) stat planes.
+
+    Two structural advantages over :func:`_walk`'s 3-plane form:
+    * each depth step gathers TWO planes instead of three (the packed
+      plane's one-hot select is an integer where+sum; the [A, Gb] unpack
+      afterwards is one AND + one SHIFT per row, not per element),
+    * depth 0 is PEELED out of the loop: every lane starts at the root
+      (node 0), so the root's rows are static slices - no one-hot gather
+      at all for the first step of every rollout (mean walk depth is ~5,
+      so this alone removes ~1/5 of the gather work).
+    """
+    A = num_actions
+    V = prior_ref.shape[1]
+    Gb = prior_ref.shape[2]
+    aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
+    vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
+    viof = vio.astype(jnp.float32)
+    nodes_out[:] = jnp.full((max_depth, Gb), -1, jnp.int32)
+    actions_out[:] = jnp.zeros((max_depth, Gb), jnp.int32)
+    expanded = expanded_ref[:]  # f32 {0,1}; loop-invariant within a rollout
+    parent = parent_ref[:]  # i32, -1 = unallocated slot
+    action_from = af_ref[:]  # i32
+
+    def step(d, node, found, leaf_action, needs_alloc, exp, P, W, Vv):
+        """One depth step given the gathered rows ([1, Gb] exp, [A, Gb]
+        stats); same math as _walk's body."""
+        live = (1.0 - found) * exp
+        Q = jnp.where(Vv > 0, W / jnp.maximum(Vv, 1.0), 0.0)
+        PI = _node_policy_2d(P, Q, Vv, cpuct=cpuct)
+        prob = probs_ref[pl.ds(d, 1), :]
+        action = _cdf_sample_2d(PI, prob, aio, A)
+        nodes_out[pl.ds(d, 1), :] = jnp.where(live > 0.5, node, -1)
+        actions_out[pl.ds(d, 1), :] = jnp.where(live > 0.5, action, 0)
+        match = jnp.logical_and(parent == node, action_from == action)
+        cid = jnp.sum(
+            jnp.where(match, viof, 0.0), axis=0, keepdims=True
+        ).astype(jnp.int32)
+        hit_missing = live * (cid == 0).astype(jnp.float32)
+        leaf_action = jnp.where(hit_missing > 0.5, action, leaf_action)
+        needs_alloc = jnp.maximum(needs_alloc, hit_missing)
+        found = jnp.maximum(found, jnp.maximum(1.0 - exp, hit_missing))
+        stepm = (live * (cid > 0).astype(jnp.float32)) > 0.5
+        node = jnp.where(stepm, cid, node)
+        return node, found, leaf_action, needs_alloc, PI
+
+    # ---- depth 0 (peeled): all lanes at node 0, static row loads ----
+    if _narrow(A):
+        P0 = jnp.concatenate(
+            [prior_ref[a, 0:1, :] for a in range(A)], axis=0)
+        PK0 = jnp.concatenate(
+            [packed_ref[a, 0:1, :] for a in range(A)], axis=0)
+    else:
+        # wide: route through the gather scratch (the same store pattern
+        # the per-depth gather uses) instead of concatenating A row values
+        for a in range(A):
+            p_scr[pl.ds(a, 1)] = prior_ref[a, 0:1, :]
+            pk_scr[pl.ds(a, 1)] = packed_ref[a, 0:1, :]
+        P0 = p_scr[:]
+        PK0 = pk_scr[:]
+    node0 = jnp.zeros((1, Gb), jnp.int32)
+    zf = jnp.zeros((1, Gb), jnp.float32)
+    node, found, leaf_action, needs_alloc, PI0 = step(
+        0, node0, zf, jnp.zeros((1, Gb), jnp.int32), zf,
+        expanded[0:1, :], P0, unpack_wsum(PK0, scale), unpack_visits(PK0),
+    )
+    rootpi_out[:] = PI0
+
+    # ---- depths >= 1: one-hot gathers over the (two) stat planes ----
+    if _narrow(A):
+        prior_s = [prior_ref[a] for a in range(A)]
+        packed_s = [packed_ref[a] for a in range(A)]
+
+        def gather_rows(node):
+            oh = vio == node  # bool [V, Gb]
+            ohf = oh.astype(jnp.float32)
+            exp = jnp.sum(expanded * ohf, axis=0, keepdims=True)
+            P = jnp.concatenate(
+                [jnp.sum(prior_s[a] * ohf, axis=0, keepdims=True)
+                 for a in range(A)], axis=0)
+            PK = jnp.concatenate(
+                [jnp.sum(jnp.where(oh, packed_s[a], 0),
+                         axis=0, keepdims=True)
+                 for a in range(A)], axis=0)
+            return exp, P, PK
+    else:
+
+        def gather_rows(node):
+            oh = vio == node
+            ohf = oh.astype(jnp.float32)
+            exp = jnp.sum(expanded * ohf, axis=0, keepdims=True)
+            for a in range(A):
+                p_scr[pl.ds(a, 1)] = jnp.sum(
+                    prior_ref[a] * ohf, axis=0, keepdims=True)
+                pk_scr[pl.ds(a, 1)] = jnp.sum(
+                    jnp.where(oh, packed_ref[a], 0),
+                    axis=0, keepdims=True)
+            return exp, p_scr[:], pk_scr[:]
+
+    def cond(st):
+        d, node, found, leaf_action, needs_alloc = st
+        return jnp.logical_and(d < max_depth, jnp.min(found) < 0.5)
+
+    def body(st):
+        d, node, found, leaf_action, needs_alloc = st
+        exp, P, PK = gather_rows(node)
+        node, found, leaf_action, needs_alloc, _ = step(
+            d, node, found, leaf_action, needs_alloc,
+            exp, P, unpack_wsum(PK, scale), unpack_visits(PK),
+        )
+        return d + 1, node, found, leaf_action, needs_alloc
+
+    _, node, _, leaf_action, needs_alloc = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), node, found, leaf_action, needs_alloc))
+    leaf_out[:] = node
+    laction_out[:] = leaf_action
+    alloc_out[:] = needs_alloc.astype(jnp.int8)
+
+
+def _select_apply_packed_kernel(prior_in, packed_in, parent_ref, af_ref,
+                                expanded_ref, probs_ref,
+                                pu_nodes, pu_actions, pu_length, pu_value,
+                                pu_leaf, pu_newp, pu_write,
+                                prior_out, packed_out,
+                                nodes_out, actions_out, leaf_out,
+                                laction_out, alloc_out, rootpi_out,
+                                p_scr, pk_scr,
+                                *, cpuct, num_actions, max_depth, scale):
+    """Packed-plane version of :func:`_select_apply_kernel`: apply the
+    previous rollout's deferred writes (prior row + packed backup adds) to
+    the VMEM-resident blocks, write back through aliasing, then run this
+    rollout's peeled walk."""
+    A = num_actions
+    V = prior_in.shape[1]
+    Gb = prior_in.shape[2]
+
+    prior_out[:] = prior_in[:]
+    packed_out[:] = packed_in[:]
+
+    # --- pending prior-row write (identical to _select_apply_kernel) ---
+    pleaf = pu_leaf[:]  # [1, Gb] i32
+    write = jnp.where(pleaf < V, pu_write[:], 0.0)  # full-tree guard
+    newp = pu_newp[:]  # [A, Gb] f32
+    sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
+    lo = jnp.min(jnp.where(write > 0, pleaf, V - 1))
+    hi = jnp.max(jnp.where(write > 0, pleaf, 0))
+    hi = jnp.minimum(hi, V - 1)
+    lo8 = (lo // 8) * 8
+    nch = hi // 8 - lo // 8 + 1  # <= 0 when no lane writes
+
+    def pchunk(j, c):
+        base = pl.multiple_of(lo8 + j * 8, 8)
+        m = jnp.logical_and((sio + base) == pleaf, write > 0)  # [8, Gb]
+        cur = prior_out[:, pl.ds(base, 8), :]
+        prior_out[:, pl.ds(base, 8), :] = jnp.where(
+            m[None], newp[:, None, :], cur)
+        return c
+
+    jax.lax.fori_loop(0, nch, pchunk, 0)
+
+    # --- pending path edge updates on the packed plane ---
+    _backup_edges_packed(packed_out, pu_nodes, pu_actions,
+                         pu_length[:], pu_value[:], num_actions=A,
+                         scale=scale)
+
+    _walk_packed(prior_out, packed_out, parent_ref, af_ref, expanded_ref,
+                 probs_ref, nodes_out, actions_out, leaf_out, laction_out,
+                 alloc_out, rootpi_out, p_scr, pk_scr,
+                 cpuct=cpuct, num_actions=num_actions, max_depth=max_depth,
+                 scale=scale)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cpuct", "scale", "interpret", "vseg"),
+                   donate_argnums=(0, 1))
+def select_apply_packed(prior, packed, parent, action_from, expanded,
+                        probs, pu_nodes, pu_actions, pu_length, pu_value,
+                        pu_leaf, pu_newp, pu_write, cpuct: float,
+                        scale: int = 512,
+                        interpret: bool = False, vseg: int | None = None):
+    """Fused previous-rollout stat update + this rollout's selection walk
+    on the packed stat representation: ``prior`` f32[A, V, G] plus ONE
+    ``packed`` i32[A, V, G] plane holding (wsum | visits) as bf16 halves
+    (see :func:`pack_stats`).
+
+    Returns ``(prior', packed', path_nodes, path_actions, node,
+    leaf_action, needs_alloc, root_pi)``.  Versus
+    :func:`select_apply_pallas`: one third less data gathered per walk
+    depth step AND one third less HBM streamed per rollout, at the cost of
+    bf16-truncated wsum (visits stay exact; the numerical contract and its
+    bit-exact jnp twin are described at :func:`pack_stats`)."""
+    interpret = interpret or bool(os.environ.get("ALPHATPU_FORCE_INTERPRET"))
+    A, V, G = prior.shape
+    D = probs.shape[0]
+    assert D >= 1
+    Vb = vseg or V
+    assert Vb % 8 == 0 and Vb <= V
+    Gb = games_block(A, V, G)
+    assert G % Gb == 0
+    grid = (G // Gb,)
+
+    def avg(i):
+        return (0, 0, i)
+
+    def vg(i):
+        return (0, i)
+
+    stat_spec = pl.BlockSpec((A, Vb, Gb), avg, memory_space=pltpu.VMEM)
+    vg_spec = pl.BlockSpec((Vb, Gb), vg, memory_space=pltpu.VMEM)
+    dg_spec = pl.BlockSpec((D, Gb), vg, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, Gb), vg, memory_space=pltpu.VMEM)
+    ag_spec = pl.BlockSpec((A, Gb), vg, memory_space=pltpu.VMEM)
+
+    (prior2, packed2, nodes, actions, node, laction, alloc,
+     rootpi) = pl.pallas_call(
+        functools.partial(_select_apply_packed_kernel, cpuct=cpuct,
+                          num_actions=A, max_depth=D, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((A, V, G), jnp.float32),
+            jax.ShapeDtypeStruct((A, V, G), jnp.int32),
+            jax.ShapeDtypeStruct((D, G), jnp.int32),
+            jax.ShapeDtypeStruct((D, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int8),
+            jax.ShapeDtypeStruct((A, G), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[stat_spec, stat_spec, vg_spec, vg_spec, vg_spec, dg_spec,
+                  dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec,
+                  row_spec],
+        out_specs=(stat_spec, stat_spec,
+                   dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
+        input_output_aliases={0: 0, 1: 1},
+        scratch_shapes=[pltpu.VMEM((A, Gb), jnp.float32),
+                        pltpu.VMEM((A, Gb), jnp.int32)],
+        compiler_params=_compiler_params(A, V, G),
+        interpret=interpret,
+    )(prior, packed, parent, action_from,
+      expanded.astype(jnp.float32), probs,
+      pu_nodes, pu_actions, pu_length[None, :].astype(jnp.int32),
+      pu_value[None, :], pu_leaf[None, :].astype(jnp.int32), pu_newp,
+      pu_write[None, :].astype(jnp.float32))
+    return (prior2, packed2, nodes, actions, node[0], laction[0],
             alloc[0] != 0, rootpi)
 
 

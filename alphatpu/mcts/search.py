@@ -275,7 +275,7 @@ def leaf_value_of(leaf_player, value_nn, done, result):
 
 
 def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result,
-           vseg: int | None = None):
+           vseg: int | None = None, value_scale: int | None = None):
     """Update every edge on the recorded path: per edge value-sum +=
     parity-flipped leaf value, visits += 1 (backUp, mcts_gpu.jl:306-328).
     The edge at depth d (leaf edge = depth len-1) receives
@@ -284,15 +284,25 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result,
 
     On TPU the walk runs as a VMEM-resident Pallas kernel (one HBM
     read/write of the stats per rollout instead of one per depth step);
-    the jnp while_loop below is the fallback and numerical reference."""
-    from .pallas_kernels import backup_pallas, select_supported
+    the jnp while_loop below is the fallback and numerical reference.
+
+    ``value_scale`` quantizes the leaf value to the 1/scale grid before
+    backing it up - the bit-exact jnp twin of the packed-plane kernel's
+    fixed-point representation (pallas_kernels.pack_stats): on-grid
+    contributions make every f32 sum exact, so no other rounding exists
+    anywhere.  Only meaningful on the jnp path."""
+    from .pallas_kernels import backup_pallas, quantize_value, select_supported
 
     V = tree.num_nodes
     A = tree.num_actions
     act_ids = jnp.arange(A)[:, None]
     leaf_value = leaf_value_of(leaf_player, value_nn, done, result)
-    if select_supported(tree.num_games, tree.num_nodes, tree.num_actions,
-                        tree.prior.dtype.itemsize):
+    if value_scale is not None:
+        leaf_value = quantize_value(leaf_value, value_scale)
+    if value_scale is None and select_supported(
+        tree.num_games, tree.num_nodes, tree.num_actions,
+        tree.prior.dtype.itemsize,
+    ):
         wsum, visits = backup_pallas(
             tree.wsum, tree.visits,
             path.nodes, path.actions, path.length, leaf_value, vseg=vseg,
@@ -319,11 +329,11 @@ def backup(tree: Tree, path: Path, leaf_player, value_nn, done, result,
         # edge is a distinct tree edge (one add per rollout), so this
         # rounds exactly once per edge update - the same point the Pallas
         # backup rounds at, keeping kernel-vs-jnp parity bit-exact even
-        # with bf16 storage.
+        # with bf16 storage (with quantized values the adds are exact).
         sd = tree.wsum.dtype
+        new_w = tree.wsum.astype(jnp.float32) + hit * contrib[None, None, :]
         tree = tree._replace(
-            wsum=(tree.wsum.astype(jnp.float32)
-                  + hit * contrib[None, None, :]).astype(sd),
+            wsum=new_w.astype(sd),
             visits=(tree.visits.astype(jnp.float32) + hit).astype(sd),
         )
         return tree, d + 1
@@ -383,6 +393,7 @@ def run_mcts(
     probs=None,
     final_root_policy: bool = False,
     segment_rollouts: bool = True,
+    packed_stats: bool | None = None,
 ):
     """One full search over all games for the current move: ``rollouts`` x
     (select -> batched NN forward -> expand -> backup) as a lax.scan (the
@@ -409,8 +420,26 @@ def run_mcts(
     rollout's pending update is flushed after the scan.  Identical math
     and results; nothing reads the stats between a backup and the next
     select in either schedule.
+
+    ``packed_stats`` selects the PACKED-plane production kernel
+    (pallas_kernels.select_apply_packed): (wsum, visits) live in one i32
+    plane as u16 fixed-point | u16 integer halves, cutting the walk's
+    dominant gather work and the per-rollout stat stream by a third and
+    collapsing the backup to one integer add.  Precision contract: visits
+    exact, wsum exact sums of leaf values quantized to the 1/value_scale
+    grid (1/512 at 64 rollouts) - the quantization is the scheme's only
+    rounding.  ``None`` (the default) = use it whenever the fused kernel
+    path is active and the tree stores f32 (disable with
+    ALPHATPU_NO_PACK=1).  ``True`` on a backend without kernels runs the
+    jnp twin with the identical value quantization (backup's
+    value_scale), so parity tests compare bit-exactly.
     """
-    from .pallas_kernels import select_apply_pallas, select_supported
+    import os
+
+    from .pallas_kernels import (
+        pack_stats, quantize_value, select_apply_packed, select_apply_pallas,
+        select_supported, unpack_visits, unpack_wsum, value_scale,
+    )
 
     G = tree.num_games
     A = tree.num_actions
@@ -425,6 +454,20 @@ def run_mcts(
         get_probs = lambda p: p
 
     fused = select_supported(G, V, A, tree.prior.dtype.itemsize)
+    if packed_stats is None:
+        packed_stats = (fused and tree.prior.dtype == jnp.float32
+                        and not os.environ.get("ALPHATPU_NO_PACK"))
+    packed = packed_stats and fused and tree.prior.dtype == jnp.float32
+    vscale = value_scale(rollouts)
+    # packed semantics without the kernel path: run the jnp twin with the
+    # identical leaf-value quantization (bit-exact CI reference - with
+    # on-grid values every f32 add is exact, see pallas_kernels.pack_stats)
+    emulate_packed = packed_stats and not packed
+    if emulate_packed:
+        w = tree.wsum.astype(jnp.float32)
+        tree = tree._replace(
+            wsum=(jnp.round(w * vscale) * (1.0 / vscale)
+                  ).astype(tree.wsum.dtype))
 
     def nn_eval(tree, node, leaf_action, needs_alloc):
         leaf_states = leaf_positions(game, tree, node, leaf_action,
@@ -454,7 +497,8 @@ def run_mcts(
         # freshly written root row.
         root_pi = jnp.where(root_was_expanded[None, :], root_pi, newp)
         tree = backup(
-            tree, path, leaf_states.player, v, done, result, vseg=vseg
+            tree, path, leaf_states.player, v, done, result, vseg=vseg,
+            value_scale=vscale if emulate_packed else None,
         )
         return (tree, root_pi), None
 
@@ -488,6 +532,43 @@ def run_mcts(
         )
         return (tree, root_pi, pend), None
 
+    def fused_body_packed(carry, x, vseg=None):
+        """fused_body on the packed stat representation: the u32
+        (wsum | visits) plane travels beside the tree (whose wsum/visits
+        arrays are stale during the scan and rebuilt from the plane after
+        it)."""
+        tree, packed_arr, _, pend = carry
+        p = get_probs(x)
+        root_was_expanded = tree.expanded[0]  # [G]
+        (prior2, packed2, pnodes, pactions, node, leaf_action, needs_alloc,
+         root_pi) = select_apply_packed(
+            tree.prior, packed_arr, tree.parent, tree.action_from,
+            tree.expanded, p, pend.nodes, pend.actions, pend.length,
+            pend.value, pend.leaf, pend.newp, pend.write, float(cpuct),
+            scale=vscale, vseg=vseg,
+        )
+        tree = tree._replace(prior=prior2)
+        path = Path(pnodes, pactions, (pnodes >= 0).sum(0).astype(jnp.int32))
+        leaf_states, prior, v = nn_eval(tree, node, leaf_action, needs_alloc)
+        tree, leaf, done, result, newp = expand(
+            game, tree, node, leaf_action, needs_alloc, leaf_states, prior,
+            training, write_prior=False,
+        )
+        root_pi = jnp.where(root_was_expanded[None, :], root_pi, newp)
+        pend = PendingUpdate(
+            nodes=path.nodes,
+            actions=path.actions,
+            length=path.length,
+            # on the 1/vscale grid: the kernel's fixed-point adds and the
+            # f32 flush then agree exactly (the scheme's only rounding)
+            value=quantize_value(
+                leaf_value_of(leaf_states.player, v, done, result), vscale),
+            leaf=leaf,
+            newp=newp,
+            write=jnp.ones((G,), bool),
+        )
+        return (tree, packed2, root_pi, pend), None
+
     # Segmented rollout loop: node ids are allocation-ordered (root = 0,
     # <= 1 new node per rollout), so rollout r only touches stat rows
     # <= r.  Running the early rollouts with the kernels' streamed node
@@ -504,8 +585,18 @@ def run_mcts(
         and rollouts == V
         and probs is None
     )
-    the_body = fused_body if fused else body
-    if fused:
+    the_body = (fused_body_packed if packed
+                else fused_body if fused else body)
+    if packed:
+        # the f32 wsum/visits arrays are dead during the scan (the packed
+        # plane replaces them); carrying 0-sized placeholders instead keeps
+        # XLA from threading two full [A, V, G] buffers through the loop
+        placeholder = jnp.zeros((0,), jnp.float32)
+        carry = (tree._replace(wsum=placeholder, visits=placeholder),
+                 pack_stats(tree.wsum, tree.visits, vscale),
+                 jnp.zeros((A, G), jnp.float32),
+                 empty_pending(depth_cap, A, G))
+    elif fused:
         carry = (tree, jnp.zeros((A, G), jnp.float32), empty_pending(
             depth_cap, A, G))
     else:
@@ -520,7 +611,22 @@ def run_mcts(
             r0 = vseg
     else:
         carry, _ = jax.lax.scan(the_body, carry, xs)
-    if fused:
+    if packed:
+        tree, packed_arr, root_pi, pend = carry
+        # rebuild the f32 stat arrays from the packed plane, then flush the
+        # last rollout's deferred writes.  pend.value is on the 1/vscale
+        # grid, so the flush's f32 adds equal the fixed-point adds the
+        # kernel would have applied - the final tree matches the jnp twin
+        # (backup value_scale=vscale) bit-exactly with no closing rounding.
+        tree = tree._replace(
+            wsum=unpack_wsum(packed_arr, vscale),
+            visits=unpack_visits(packed_arr),
+            prior=scatter_stat(
+                tree.prior, node_onehot(V, pend.leaf), pend.newp,
+                mask=pend.write),
+        )
+        tree = backup_flush(tree, pend)
+    elif fused:
         tree, root_pi, pend = carry
         # flush the last rollout's deferred writes; the scatter is gated on
         # pend.write so a rollouts == 0 call (empty pending, leaf 0) does

@@ -190,12 +190,14 @@ def test_fused_pipeline_matches_jnp(game_name, G, V, monkeypatch):
     ref_tree, ref_pi = run_mcts(
         game, apply_inference, params, tree0, None,
         rollouts=R, cpuct=CPUCT, training=True, probs=probs,
+        packed_stats=False,
     )
     monkeypatch.delenv("ALPHATPU_NO_KERNELS")
     monkeypatch.setenv("ALPHATPU_FORCE_INTERPRET", "1")
     fused_tree, fused_pi = run_mcts(
         game, apply_inference, params, tree0, None,
         rollouts=R, cpuct=CPUCT, training=True, probs=probs,
+        packed_stats=False,
     )
     monkeypatch.delenv("ALPHATPU_FORCE_INTERPRET")
 
@@ -227,6 +229,58 @@ def test_stat_dtype_for(monkeypatch):
     assert stat_dtype_for(256) == jnp.bfloat16
     assert stat_dtype_for(100) == jnp.float32  # not 16-row aligned
     assert stat_dtype_for(512) == jnp.float32  # counts exceed bf16 ints
+
+
+@pytest.mark.parametrize("game_name,G,V", [
+    ("tictactoe", 256, 32),
+    ("hex5", 256, 32),
+])
+def test_packed_production_path_matches_twin(game_name, G, V, monkeypatch):
+    """THE production configuration: the packed-plane fused kernel
+    (select_apply_packed - one i32 (wsum_fix | visits) plane, peeled
+    depth-0 walk, segmented vseg loop, aliased write-back) against its
+    bit-exact jnp twin (packed_stats=True on a kernel-less backend =
+    leaf values quantized to the 1/value_scale grid via backup's
+    value_scale; all sums then exact).  Same rng key -> identical uniform
+    streams; every tree field must match EXACTLY, and visits must still
+    be exact integers."""
+    game = make_game(game_name)
+    params = init_params(
+        jax.random.key(5), config_for_game(game, width=32, depth=2)
+    )
+    positions = broadcast_initial(game, G)
+    tree0 = init_tree(game, positions, V)
+    rng = jax.random.key(29)
+
+    monkeypatch.setenv("ALPHATPU_NO_KERNELS", "1")
+    ref_tree, ref_pi = run_mcts(
+        game, apply_inference, params, tree0, rng,
+        rollouts=V, cpuct=CPUCT, training=True, packed_stats=True,
+    )
+    monkeypatch.delenv("ALPHATPU_NO_KERNELS")
+    monkeypatch.setenv("ALPHATPU_FORCE_INTERPRET", "1")
+    k_tree, k_pi = run_mcts(
+        game, apply_inference, params, tree0, rng,
+        rollouts=V, cpuct=CPUCT, training=True,
+    )
+    monkeypatch.delenv("ALPHATPU_FORCE_INTERPRET")
+
+    np.testing.assert_allclose(
+        np.asarray(k_pi), np.asarray(ref_pi), rtol=1e-6, atol=1e-7
+    )
+    for name in ("parent", "action_from", "expanded", "next_idx",
+                 "prior", "wsum", "visits"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(k_tree, name)),
+            np.asarray(getattr(ref_tree, name)), err_msg=name,
+        )
+    np.testing.assert_array_equal(np.asarray(k_tree.visits) % 1.0, 0.0)
+    # wsum is an exact sum of 1/value_scale(V)-grid values: scaling it
+    # back up must give exact integers everywhere
+    from alphatpu.mcts.pallas_kernels import value_scale
+    np.testing.assert_array_equal(
+        (np.asarray(k_tree.wsum, np.float64) * value_scale(V)) % 1.0, 0.0
+    )
 
 
 @pytest.mark.parametrize("game_name,G,V", [
@@ -300,13 +354,13 @@ def test_segmented_production_path_matches_jnp(game_name, G, V, monkeypatch):
     monkeypatch.setenv("ALPHATPU_NO_KERNELS", "1")
     ref_tree, ref_pi = run_mcts(
         game, apply_inference, params, tree0, rng,
-        rollouts=V, cpuct=CPUCT, training=True,
+        rollouts=V, cpuct=CPUCT, training=True, packed_stats=False,
     )
     monkeypatch.delenv("ALPHATPU_NO_KERNELS")
     monkeypatch.setenv("ALPHATPU_FORCE_INTERPRET", "1")
     seg_tree, seg_pi = run_mcts(
         game, apply_inference, params, tree0, rng,
-        rollouts=V, cpuct=CPUCT, training=True,
+        rollouts=V, cpuct=CPUCT, training=True, packed_stats=False,
     )
     monkeypatch.delenv("ALPHATPU_FORCE_INTERPRET")
 
