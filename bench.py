@@ -31,7 +31,7 @@ PEAK_FLOPS_BF16 = 197e12
 
 
 def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
-            rounds=0, seed=0, chunk=0):
+            rounds=0, seed=0, chunk=0, superblock=0):
     """One timed continuous-selfplay generation; returns a result dict.
 
     8192 lanes is the single-chip sweet spot for narrow boards (the whole
@@ -47,6 +47,16 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
     crash the time-shared tunnel worker, so big shapes (hex13, 32k lanes)
     need a bound; the calls dispatch asynchronously and run back-to-back
     on device, so the device-side overhead is nil.
+
+    ``superblock`` (BENCH_SUPERBLOCK, default 8192 when games > 8192):
+    lane counts past ~8k run ~25-35% slower PER LANE on one chip (the
+    32k-lane cliff, BENCH r3/r4), so a generation over more lanes is
+    scheduled as games/superblock device-sequential groups of
+    ``superblock`` lanes each - same generation's work, same samples,
+    strictly a within-generation scheduling choice (each group keeps its
+    own EpisodeCarry; the result is the sum).  Reported in ``extra`` so
+    the number cannot be misread as a single 32k-lane lockstep batch.
+    Set BENCH_SUPERBLOCK=-1 to force one lockstep batch.
     """
     from functools import partial
 
@@ -65,6 +75,11 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
     rounds = rounds or max(168, 2 * game.max_game_length)
     chunk = chunk or rounds
     n_chunks = -(-rounds // chunk)
+    if superblock == 0 and games > 8192 and games % 8192 == 0:
+        superblock = 8192
+    sb = (superblock if superblock > 0 and games % superblock == 0
+          else games)
+    n_sb = games // sb
     net_apply = (
         partial(apply_inference, compute_dtype=jnp.bfloat16)
         if bf16 else apply_inference
@@ -74,7 +89,7 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
     params = init_params(jax.random.key(seed), net_cfg)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     cfg = SelfplayConfig(
-        num_games=games, rollouts=rollouts, cpuct=1.5,
+        num_games=sb, rollouts=rollouts, cpuct=1.5,
         continuous=True, rounds=chunk,
     )
     buf = create_buffer(game, capacity=2_000_000)
@@ -82,18 +97,23 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
     run = jax.jit(selfplay_continuous, static_argnums=(0, 1, 5))
 
     def generation(key):
-        """n_chunks chained calls = one rounds-long generation."""
-        carry = make_carry(game, games, key)
-        b, totals = buf, None
-        for _ in range(n_chunks):
-            b, stats, carry = run(game, net_apply, params, b, carry.rng,
-                                  cfg, carry)
-            # recover the additive length sum before cross-chunk summing
-            stats["length_sum"] = stats["mean_length"] * stats[
-                "games_finished"]
-            carried = stats.pop("carried")  # snapshot, not additive
-            totals = stats if totals is None else jax.tree.map(
-                jax.numpy.add, totals, stats)
+        """n_sb device-sequential superblocks x n_chunks chained calls =
+        one rounds-long generation over all ``games`` lanes."""
+        import jax.random as jrandom
+
+        b, totals, carried = buf, None, 0
+        for s in range(n_sb):
+            carry = make_carry(game, sb, jrandom.fold_in(key, s))
+            for _ in range(n_chunks):
+                b, stats, carry = run(game, net_apply, params, b, carry.rng,
+                                      cfg, carry)
+                # recover the additive length sum before cross-chunk summing
+                stats["length_sum"] = stats["mean_length"] * stats[
+                    "games_finished"]
+                sb_carried = stats.pop("carried")  # snapshot, not additive
+                totals = stats if totals is None else jax.tree.map(
+                    jax.numpy.add, totals, stats)
+            carried = carried + sb_carried
         totals["carried"] = carried
         return totals
 
@@ -149,6 +169,8 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
             "bf16_inference": bf16,
             "rounds": rounds,
             "chunk_rounds": chunk,
+            "superblock_lanes": sb,
+            "superblocks": n_sb,
         },
     }
 
@@ -160,8 +182,10 @@ def main():
     bf16 = os.environ.get("BENCH_BF16", "") not in ("", "0")
     rounds = int(os.environ.get("BENCH_ROUNDS", 0))
     chunk = int(os.environ.get("BENCH_CHUNK", 0))
+    superblock = int(os.environ.get("BENCH_SUPERBLOCK", 0))
 
-    result = measure(game_name, games, rollouts, bf16, rounds, chunk=chunk)
+    result = measure(game_name, games, rollouts, bf16, rounds, chunk=chunk,
+                     superblock=superblock)
     anchor = os.environ.get("BENCH_ANCHOR_STEPS_PER_S")
     if anchor:
         result["vs_baseline"] = round(result["value"] / float(anchor), 3)
