@@ -185,6 +185,86 @@ class LineProbe:
         return int(cands[rng.integers(len(cands))]) if cands else 0
 
 
+class GomokuProbe(LineProbe):
+    """Threat-aware alpha-beta for Gobang - the stronger probe family the
+    r3 verdict asked for (an opponent the net does not trivially beat, vs
+    the full-width depth-3 LineProbe it was probed against).
+
+    Three standard gomoku-engine devices on top of :class:`LineProbe`:
+
+    * **candidate restriction**: only empty cells within Chebyshev
+      distance 2 of an existing stone are considered (center opening),
+      and the list is truncated to the ``max_cands`` highest-proximity
+      cells (stones within distance 1 weighted over distance 2; stable
+      center-out tiebreak) - the classic selective-search practice that
+      makes depth 5 tractable where full-width depth 3 was the limit,
+    * **forced moves**: at every node, if the mover can complete five the
+      move list is exactly those wins; else if the opponent threatens to
+      complete five next ply, only the blocking cells are searched,
+    * **open-run eval**: runs are scored by their open ends (a blocked
+      four is a single threat, an open four is winning) instead of the
+      raw run count of LineProbe.evaluate.
+    """
+
+    def __init__(self, rows: int, cols: int, nvict: int, depth: int,
+                 max_cands: int = 12):
+        super().__init__(rows, cols, nvict, depth)
+        self.center = (rows // 2) + rows * (cols // 2)  # action index
+        self.max_cands = max_cands
+
+    def _dilate(self, b: int) -> int:
+        s = self.stride
+        out = b
+        for d in (1, s - 1, s, s + 1):
+            out |= (b << d) | (b >> d)
+        return out & self.full
+
+    def moves(self, me: int, other: int):
+        occ = me | other
+        if not occ:
+            return [self.center]
+        cand = self._dilate(self._dilate(occ)) & ~occ
+        cands = [a for a in self.order if (cand >> self.cells[a]) & 1]
+        if not cands:  # isolated remnant cells: fall back to full width
+            return super().moves(me, other)
+        mywin = [a for a in cands
+                 if self.wins(me | (1 << self.cells[a]))]
+        if mywin:
+            return mywin
+        block = [a for a in cands
+                 if self.wins(other | (1 << self.cells[a]))]
+        if block:
+            return block
+        if len(cands) > self.max_cands:
+            def prox(a):
+                b = 1 << self.cells[a]
+                n1 = _popcount(self._dilate(b) & occ)
+                n2 = _popcount(self._dilate(self._dilate(b)) & occ)
+                return -(4 * n1 + n2)
+            cands.sort(key=prox)  # stable: keeps the center-out tiebreak
+            cands = cands[:self.max_cands]
+        return cands
+
+    def _open_score(self, b: int, empty: int) -> int:
+        s = 0
+        for d in self.dirs:
+            x = b
+            for k in range(2, self.nvict):
+                x &= x >> d  # bit i set <=> i, i+d, .., i+(k-1)d all set
+                if not x:
+                    break
+                lo = x & (empty << d)          # empty cell before the run
+                hi = x & (empty >> (k * d))    # empty cell after the run
+                base = 8 ** (k - 2)
+                s += base * (_popcount(lo) + _popcount(hi)
+                             + 4 * _popcount(lo & hi))
+        return s
+
+    def evaluate(self, me: int, other: int) -> int:
+        empty = self.full & ~(me | other)
+        return self._open_score(me, empty) - self._open_score(other, empty)
+
+
 # ---------------------------------------------------------------------------
 # Reversi
 # ---------------------------------------------------------------------------
@@ -454,7 +534,7 @@ def probe_for_game(game, depth: int | None = None):
     if name == "tictactoe":
         return LineProbe(3, 3, 3, depth or 9)  # full depth = perfect play
     if name.startswith("gobang"):
-        return LineProbe(game.n, game.n, game.nvict, depth or 3)
+        return GomokuProbe(game.n, game.n, game.nvict, depth or 5)
     if name.startswith("reversi"):
         return ReversiProbe(game.size, depth or 4)
     if name.startswith("hex"):

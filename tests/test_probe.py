@@ -5,6 +5,7 @@ import jax
 
 from alphatpu.games import make_game
 from alphatpu.probe import (
+    GomokuProbe,
     LineProbe,
     ReversiProbe,
     eval_vs_probe,
@@ -189,6 +190,56 @@ def test_probe_for_game_mapping():
     assert probe_for_game(make_game("reversi6x6")).size == 6
     g8 = probe_for_game(make_game("gobang8"))
     assert (g8.rows, g8.nvict) == (8, 5)
+    assert isinstance(g8, GomokuProbe) and g8.depth == 5
+
+
+def test_gomoku_probe_tactics_and_rules():
+    oracle = OracleGobang(9, 5)
+    probe = GomokuProbe(9, 9, 5, depth=3)
+    rng = np.random.default_rng(4)
+    # rule agreement along random playouts
+    for _ in range(3):
+        random_playout_check(oracle, probe, 30, rng)
+    # empty board: restricted candidates = the center opening
+    empty = np.zeros(81, bool)
+    assert probe.best_action(empty, empty, rng) == probe.center == 40
+    # forced moves: completes its own five; blocks the opponent's four
+    me = np.zeros(81, bool)
+    op = np.zeros(81, bool)
+    for i in range(4):  # my four in row 4, cols 1..4 (cell = r + 9*c)
+        me[4 + 9 * (1 + i)] = True
+    op[[0, 1, 2]] = True
+    a = probe.best_action(me, op, rng)
+    assert a in (4 + 9 * 0, 4 + 9 * 5), "must complete the five"
+    a = probe.best_action(op, me, rng)
+    assert a in (4 + 9 * 0, 4 + 9 * 5), "must block the open four"
+
+
+def test_gomoku_probe_beats_old_lineprobe():
+    """The r3 verdict's ask: a stronger Gobang opponent.  Head-to-head at
+    the SHIPPED depth (5), the threat-aware selective GomokuProbe must
+    clearly beat the full-width depth-3 LineProbe that gobang9 was
+    previously probed against (measured 6W/0D/0L; asserted with margin).
+    At equal depth 3 the two split 3W/3L - the strength comes from the
+    depth the selective search affords, which is the point."""
+    oracle = OracleGobang(9, 5)
+    new = GomokuProbe(9, 9, 5, depth=5)
+    old = LineProbe(9, 9, 5, depth=3)
+    rng = np.random.default_rng(5)
+    score = 0
+    for g in range(6):
+        st = oracle.initial()
+        new_first = g % 2 == 0
+        for t in range(81):
+            over, res = oracle.is_over(st)
+            if over:
+                break
+            mover, other = planes_of(oracle, st)
+            p = new if (t % 2 == 0) == new_first else old
+            st = oracle.play(st, p.best_action(mover > 0, other > 0, rng))
+        over, res = oracle.is_over(st)
+        score += res * (1 if new_first else -1)
+    assert score >= 4, f"GomokuProbe should beat old LineProbe (net {score})"
 
 
 def test_hex_probe_tactics_and_geometry():
