@@ -55,7 +55,12 @@ def save_checkpoint(
     best_generation: int,
     rng,
     buffer=None,
+    sp_carry=None,
 ) -> str:
+    """``sp_carry`` (continuous-selfplay EpisodeCarry) is serialized with
+    the buffer, making a resume exact: in-flight episodes continue instead
+    of restarting, so nothing the search paid for is ever dropped
+    (selfplay.EpisodeCarry invariant) even across a crash."""
     os.makedirs(ckpt_dir, exist_ok=True)
     # index wraps at 1000 like the reference's reseau$index (selfplay.jl:53)
     index = (generation - 1) % 1000 + 1
@@ -68,12 +73,15 @@ def save_checkpoint(
     })
     if buffer is not None:
         save_pytree(os.path.join(ckpt_dir, "buffer.npz"), buffer)
+    if sp_carry is not None:
+        save_pytree(os.path.join(ckpt_dir, "carry.npz"), sp_carry)
     manifest = {
         "generation": generation,
         "index": index,
         "elo": float(elo),
         "best_generation": int(best_generation),
         "has_buffer": buffer is not None,
+        "has_carry": sp_carry is not None,
     }
     with open(os.path.join(ckpt_dir, "latest.json"), "w") as f:
         json.dump(manifest, f)
@@ -81,7 +89,8 @@ def save_checkpoint(
 
 
 def load_checkpoint(
-    ckpt_dir: str, *, best_params, train_params, opt_state, rng, buffer=None
+    ckpt_dir: str, *, best_params, train_params, opt_state, rng, buffer=None,
+    sp_carry=None,
 ) -> Tuple[Dict[str, Any], Any]:
     """Resume from the latest manifest; templates give structure/dtypes.
     Returns (manifest, state-dict with the same keys as save)."""
@@ -97,5 +106,9 @@ def load_checkpoint(
     if buffer is not None and manifest.get("has_buffer"):
         state["buffer"] = load_pytree_like(
             os.path.join(ckpt_dir, "buffer.npz"), buffer
+        )
+    if sp_carry is not None and manifest.get("has_carry"):
+        state["sp_carry"] = load_pytree_like(
+            os.path.join(ckpt_dir, "carry.npz"), sp_carry
         )
     return manifest, state

@@ -194,6 +194,14 @@ def main(argv=None) -> int:
     ):
         from . import checkpoint as ckpt
 
+        carry_tmpl = None
+        if args.continuous and args.save_buffer and D == 1:
+            # exact-resume of in-flight episodes (multi-device carries hold
+            # per-device key stacks and resume fresh instead)
+            from .selfplay import make_carry
+
+            c = make_carry(game, cfg.selfplay.num_games, state.rng)
+            carry_tmpl = c._replace(rng=jax.random.key_data(c.rng))
         manifest, loaded = ckpt.load_checkpoint(
             cfg.ckpt_dir,
             best_params=state.best_params,
@@ -201,6 +209,7 @@ def main(argv=None) -> int:
             opt_state=state.opt_state,
             rng=jax.random.key_data(state.rng),
             buffer=state.buffer if args.save_buffer else None,
+            sp_carry=carry_tmpl,
         )
         state.best_params = loaded["best"]
         state.train_params = loaded["train"]
@@ -208,6 +217,9 @@ def main(argv=None) -> int:
         state.rng = jax.random.wrap_key_data(loaded["rng"])
         if "buffer" in loaded:
             state.buffer = loaded["buffer"]
+        if "sp_carry" in loaded:
+            state.sp_carry = loaded["sp_carry"]._replace(
+                rng=jax.random.wrap_key_data(loaded["sp_carry"].rng))
         state.elo = manifest["elo"]
         state.generation = manifest["generation"]
         state.best_generation = manifest["best_generation"]

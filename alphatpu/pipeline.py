@@ -110,8 +110,10 @@ class PipelineState:
     generation: int = 0
     best_generation: int = 0
     # continuous mode: in-flight episodes persist across generations (zero
-    # dropped search compute).  None = start fresh; not checkpointed - a
-    # resume restarts lanes on fresh episodes (bounded one-generation loss).
+    # dropped search compute).  None = start fresh.  Checkpointed together
+    # with the buffer (--save-buffer, single-device) so a resume continues
+    # the in-flight episodes exactly; without --save-buffer a resume
+    # restarts lanes on fresh episodes (bounded one-generation loss).
     sp_carry: Any = None
 
 
@@ -239,6 +241,11 @@ def run_generation(game, state: PipelineState, cfg: PipelineConfig):
             best_generation=state.best_generation,
             rng=jax.random.key_data(state.rng),
             buffer=state.buffer if cfg.save_buffer else None,
+            sp_carry=(
+                state.sp_carry._replace(
+                    rng=jax.random.key_data(state.sp_carry.rng))
+                if cfg.save_buffer and state.sp_carry is not None else None
+            ),
         )
     stats = {
         "generation": gen,

@@ -153,7 +153,15 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
                   + ("_bf16" if bf16 else ""),
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
+        # NOT vs the reference: the reference publishes no absolute
+        # throughput (BASELINE.md), so the ratio is against this
+        # framework's own unoptimized round-1 build (the "anchor" field
+        # says so machine-readably).  The driver schema requires the
+        # field name.
         "vs_baseline": round(steps_per_s / ANCHOR_STEPS_PER_S, 3),
+        "anchor": f"self-r1 unoptimized build, {ANCHOR_STEPS_PER_S:.0f} "
+                  "env-steps/s on the same chip/workload (reference "
+                  "publishes no absolute throughput)",
         "extra": {
             "env_steps": int(env_steps),
             "samples_written": int(stats["samples_written"]),
@@ -189,6 +197,7 @@ def main():
     anchor = os.environ.get("BENCH_ANCHOR_STEPS_PER_S")
     if anchor:
         result["vs_baseline"] = round(result["value"] / float(anchor), 3)
+        result["anchor"] = f"BENCH_ANCHOR_STEPS_PER_S={anchor}"
 
     import jax
 

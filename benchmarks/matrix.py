@@ -20,22 +20,21 @@ from bench import measure  # noqa: E402
 LANES = int(os.environ.get("MATRIX_GAMES", 8192))
 ROLLOUTS = int(os.environ.get("MATRIX_ROLLOUTS", 64))
 
-# (game, lanes, bf16) - the BASELINE.json config list, both precisions for
-# the headline rows, plus the 32k-lane shape check.
 # (game, lanes, bf16, chunk, rounds): chunk > 0 bounds single-execution
 # length (rounds per jit call) - executions past ~40 s crash the
 # time-shared tunnel worker, so the big shapes run chained-carry chunks
 # (bit-identical, see bench.measure).  rounds=0 uses the default
-# (>= 2 full games per lane); hex13 runs fewer - its A=169 board takes
-# the jnp select path (see pallas_kernels.select_supported) at ~25x the
-# kernel's per-round cost, and bench counts carried in-flight rows, so a
-# shorter run still measures steady-state throughput exactly.
+# (>= 2 full games per lane); the 13x13 boards run fewer rounds - bench
+# counts carried in-flight rows, so a shorter run still measures
+# steady-state throughput exactly.  The 32,768-lane row runs as 4
+# device-sequential 8192-lane superblocks (bench.measure, disclosed in
+# extra) - the r3/r4-measured per-lane cliff past ~8k lockstep lanes.
 CONFIGS = [
     ("tictactoe", 1024, False, 0, 0),
     ("connect4", LANES, False, 0, 0),
     ("connect4", LANES, True, 0, 0),
     # the reference's literal 32,768-game shape
-    ("connect4", 32768, False, 56, 0),
+    ("connect4", 32768, False, 84, 0),
     ("hex7", LANES, False, 0, 0),
     ("hex7", LANES, True, 0, 0),
     ("gobang9", LANES, False, 0, 0),
@@ -43,13 +42,15 @@ CONFIGS = [
     ("reversi6x6", LANES, False, 0, 0),
     ("reversi8x8", LANES, False, 0, 0),
     ("reversi8x8", LANES, True, 0, 0),
-    ("hex13", 2048, False, 16, 64),  # A=169 widest-board datapoint
+    # the 13x13 boards (A=169): fused kernel path since r4
+    ("hex13", 2048, False, 16, 64),
+    ("gobang13", 2048, False, 16, 64),
 ]
 
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results_r2.json")
+        os.path.dirname(os.path.abspath(__file__)), "results_r4.json")
     results = []
     for game, lanes, bf16, chunk, rounds in CONFIGS:
         try:

@@ -65,6 +65,41 @@ def test_two_generations_and_checkpoint(tmp_path):
     )
 
 
+def test_carry_checkpoint_roundtrip(tmp_path):
+    """Continuous mode + save_buffer: the EpisodeCarry (in-flight episodes)
+    round-trips through the checkpoint exactly, so a resume continues the
+    episodes instead of dropping them."""
+    from alphatpu.selfplay import make_carry
+
+    game = make_game("tictactoe")
+    cfg = tiny_config(tmp_path)
+    cfg.selfplay = cfg.selfplay._replace(continuous=True, rounds=6)
+    cfg.save_buffer = True
+    state = init_pipeline(game, cfg)
+    state, _ = run_generation(game, state, cfg)
+    assert state.sp_carry is not None
+
+    tmpl = make_carry(game, cfg.selfplay.num_games, jax.random.key(0))
+    tmpl = tmpl._replace(rng=jax.random.key_data(tmpl.rng))
+    manifest, loaded = ckpt.load_checkpoint(
+        cfg.ckpt_dir,
+        best_params=state.best_params,
+        train_params=state.train_params,
+        opt_state=state.opt_state,
+        rng=jax.random.key_data(state.rng),
+        buffer=state.buffer,
+        sp_carry=tmpl,
+    )
+    assert manifest["has_carry"]
+    got = loaded["sp_carry"]
+    want = state.sp_carry._replace(
+        rng=jax.random.key_data(state.sp_carry.rng))
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the carried episode state is non-trivial (some lane mid-episode)
+    assert int(np.asarray(want.count).sum()) > 0
+
+
 def test_cli_parser_matches_reference_flags():
     from alphatpu.cli import build_parser
 
