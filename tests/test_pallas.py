@@ -217,6 +217,20 @@ def test_fused_pipeline_matches_jnp(game_name, G, V, monkeypatch):
         )
 
 
+def test_games_block_heuristic():
+    """Lane-block width: widest of 1024/512/256/128 that fits VMEM and
+    divides G; narrow boards cap at 1024, wide at 512."""
+    from alphatpu.mcts.pallas_kernels import games_block
+
+    assert games_block(7, 64, 8192) == 1024     # narrow: connect4
+    assert games_block(9, 16, 1024) == 1024     # narrow: tictactoe
+    assert games_block(7, 64, 512) == 512       # divisibility caps it
+    assert games_block(49, 64, 8192) == 512     # wide: hex7 fits 512
+    assert games_block(81, 64, 8192) == 256     # gobang9: 512 too big
+    assert games_block(169, 64, 2048) == 128    # hex13: only 128 fits
+    assert games_block(169, 64, 2048, itemsize=2) == 256  # bf16 halves it
+
+
 def test_stat_dtype_for(monkeypatch):
     """bf16 storage is opt-in (measured slower on TPU: the gather loop is
     VPU-bound and bf16 loads add converts) and only engages when every
