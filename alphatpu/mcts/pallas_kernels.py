@@ -211,6 +211,85 @@ def unpack_visits(packed):
 
 
 # ---------------------------------------------------------------------------
+# single-plane (prior | wsum | visits) packing ("packed1")
+# ---------------------------------------------------------------------------
+# The 2-plane packed walk still gathers TWO planes per action per depth
+# step (prior f32 + packed i32).  Since the prior is written once per node
+# and only ever *read* by the walk, it can ride in the same i32 word:
+#
+#     [ prior u11 | wsum * S1 u(21 - bits_v) | visits u(bits_v) ]
+#
+# with bits_v = bit_length(R) (visits <= R per edge per fresh search) and
+# S1 the largest power of two with R * S1 < 2**(21 - bits_v).  At the
+# production R = 64: [prior u11 | wsum u14 (S1 = 128) | visits u7].  This
+# halves the A-scaled gather work (2 planes -> 1) - the dominant cost of
+# the VPU-bound walk on wide boards.
+#
+# Precision contract (the bit-exact-twin discipline of pack_stats):
+#   * leaf values quantized to the 1/S1 grid (quantize_value) - as before,
+#     just a coarser grid (1/128 vs 1/512 at R = 64),
+#   * prior rows quantized to the 1/2048 grid, clamped to 2047/2048
+#     (quantize_prior), applied at the row write,
+# and nothing else: visits exact, all f32 sums of on-grid values exact,
+# backup still ONE integer add per edge.  The jnp twin applies the same
+# two quantizations and matches the kernel bit-exactly.  Like the 2-plane
+# form this requires a freshly reset tree (run_mcts's packed guard).
+
+PRIOR_BITS = 11
+_PRIOR_GRID = float(1 << PRIOR_BITS)
+
+
+def packed1_layout(rollouts: int):
+    """(bits_v, bits_w, scale) of the 1-plane word for an R-rollout
+    search: visits field sized to hold R, wsum field gets the rest below
+    the u11 prior, scale = largest power of two with R * scale fitting
+    the wsum field."""
+    bits_v = max(1, int(rollouts).bit_length())
+    bits_w = 32 - PRIOR_BITS - bits_v
+    assert bits_w >= 8, f"rollouts={rollouts} leaves <8 wsum bits"
+    s = 1
+    while rollouts * (s * 2) < (1 << bits_w):
+        s *= 2
+    return bits_v, bits_w, s
+
+
+def quantize_prior(p):
+    """Round a prior in [0, 1] to the 1/2048 grid, clamped to 2047/2048
+    (1.0 must not overflow the u11 field)."""
+    return jnp.minimum(
+        jnp.round(p * _PRIOR_GRID), _PRIOR_GRID - 1.0) * (1.0 / _PRIOR_GRID)
+
+
+def pack1_stats(prior, wsum, visits, layout):
+    """f32 x3 -> i32 [prior u11 | wsum fix | visits].  Lossless for
+    on-grid prior/wsum and integer visits."""
+    bits_v, bits_w, s = layout
+    pfix = jnp.minimum(jnp.round(prior * _PRIOR_GRID),
+                       _PRIOR_GRID - 1.0).astype(jnp.int32)
+    wfix = jnp.round(wsum * s).astype(jnp.int32)
+    return (pfix << (bits_v + bits_w)) | (wfix << bits_v) | visits.astype(
+        jnp.int32)
+
+
+def unpack1_prior(packed, layout):
+    bits_v, bits_w, _ = layout
+    fix = jax.lax.shift_right_logical(packed, bits_v + bits_w)
+    return fix.astype(jnp.float32) * (1.0 / _PRIOR_GRID)
+
+
+def unpack1_wsum(packed, layout):
+    bits_v, bits_w, s = layout
+    fix = jax.lax.shift_right_logical(packed, bits_v) & np.int32(
+        (1 << bits_w) - 1)
+    return fix.astype(jnp.float32) * (1.0 / s)
+
+
+def unpack1_visits(packed, layout):
+    bits_v, _, _ = layout
+    return (packed & np.int32((1 << bits_v) - 1)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # select (fused on-the-fly regularized policy + descend)
 # ---------------------------------------------------------------------------
 
@@ -683,14 +762,18 @@ def select_apply_pallas(prior, wsum, visits, parent, action_from, expanded,
 
 
 def _backup_edges_packed(packed_out, nodes_ref, actions_ref, length, value,
-                         *, num_actions, scale):
+                         *, num_actions, scale, wshift=16):
     """The backup edge updates on the packed (wsum_fix | visits) plane:
     with both halves integers, updating BOTH stats of an edge is ONE
-    integer add of ``(contrib * scale) << 16 | 1`` - two vector ops per
-    chunk element (mask-multiply + add), cheaper than even the f32
+    integer add of ``(contrib * scale) << wshift | 1`` - two vector ops
+    per chunk element (mask-multiply + add), cheaper than even the f32
     kernel's two-plane multiply-adds.  ``value`` must already be on the
     1/scale grid (quantize_value), so ``contrib * scale`` is an exact
-    integer."""
+    integer.  ``wshift`` is the wsum field's bit offset: 16 for the
+    2-plane (wsum | visits) word, packed1_layout's bits_v for the 1-plane
+    (prior | wsum | visits) word (whose prior field the add can never
+    carry into: accumulated wsum * scale <= R * scale < 2**bits_w by
+    construction)."""
     A = num_actions
     V = packed_out.shape[1]
     Gb = length.shape[1]
@@ -706,7 +789,7 @@ def _backup_edges_packed(packed_out, nodes_ref, actions_ref, length, value,
         contrib = jnp.where(k % 2 == 0, 1.0 - value, value)  # [1, Gb]
         cfix = (contrib * scale).astype(jnp.int32)  # exact grid integers
         am = (aio == actions).astype(jnp.int32)  # [A, Gb]
-        adelta = am * ((cfix << 16) + 1)  # [A, Gb] i32
+        adelta = am * ((cfix << wshift) + 1)  # [A, Gb] i32
         lo = jnp.min(jnp.where(valid, nodes, V - 1))
         hi = jnp.max(jnp.where(valid, nodes, 0))
         lo8 = (lo // 8) * 8
@@ -910,15 +993,17 @@ def select_apply_packed(prior, packed, parent, action_from, expanded,
                         interpret: bool = False, vseg: int | None = None):
     """Fused previous-rollout stat update + this rollout's selection walk
     on the packed stat representation: ``prior`` f32[A, V, G] plus ONE
-    ``packed`` i32[A, V, G] plane holding (wsum | visits) as bf16 halves
+    ``packed`` i32[A, V, G] plane holding (wsum | visits) as
+    u16 fixed-point (wsum * scale) | u16 integer (visits) halves
     (see :func:`pack_stats`).
 
     Returns ``(prior', packed', path_nodes, path_actions, node,
     leaf_action, needs_alloc, root_pi)``.  Versus
     :func:`select_apply_pallas`: one third less data gathered per walk
     depth step AND one third less HBM streamed per rollout, at the cost of
-    bf16-truncated wsum (visits stay exact; the numerical contract and its
-    bit-exact jnp twin are described at :func:`pack_stats`)."""
+    leaf values quantized to the 1/scale fixed-point grid (visits stay
+    exact; the numerical contract and its bit-exact jnp twin are described
+    at :func:`pack_stats`)."""
     interpret = interpret or bool(os.environ.get("ALPHATPU_FORCE_INTERPRET"))
     A, V, G = prior.shape
     D = probs.shape[0]
@@ -972,6 +1057,250 @@ def select_apply_packed(prior, packed, parent, action_from, expanded,
       pu_value[None, :], pu_leaf[None, :].astype(jnp.int32), pu_newp,
       pu_write[None, :].astype(jnp.float32))
     return (prior2, packed2, nodes, actions, node[0], laction[0],
+            alloc[0] != 0, rootpi)
+
+
+def _walk_packed1(packed_ref, parent_ref, af_ref, expanded_ref,
+                  probs_ref, nodes_out, actions_out, leaf_out, laction_out,
+                  alloc_out, rootpi_out, pk_scr,
+                  *, cpuct, num_actions, max_depth, layout):
+    """:func:`_walk_packed` on the 1-plane (prior | wsum | visits) word:
+    ONE gathered plane per action per depth step - the prior rides in the
+    same i32 and is unpacked per [A, Gb] row (two shift+mask+converts per
+    row, not per element).  Same peeled depth 0, same walk math."""
+    A = num_actions
+    V = packed_ref.shape[1]
+    Gb = packed_ref.shape[2]
+    bits_v, bits_w, s = layout
+    mask_w = np.int32((1 << bits_w) - 1)
+    mask_v = np.int32((1 << bits_v) - 1)
+    aio = jax.lax.broadcasted_iota(jnp.int32, (A, Gb), 0)
+    vio = jax.lax.broadcasted_iota(jnp.int32, (V, Gb), 0)
+    viof = vio.astype(jnp.float32)
+    nodes_out[:] = jnp.full((max_depth, Gb), -1, jnp.int32)
+    actions_out[:] = jnp.zeros((max_depth, Gb), jnp.int32)
+    expanded = expanded_ref[:]  # f32 {0,1}; loop-invariant within a rollout
+    parent = parent_ref[:]  # i32, -1 = unallocated slot
+    action_from = af_ref[:]  # i32
+
+    def unpack_rows(PK):
+        """[A, Gb] i32 -> (P, W, Vv) f32 rows."""
+        P = jax.lax.shift_right_logical(PK, bits_v + bits_w).astype(
+            jnp.float32) * (1.0 / _PRIOR_GRID)
+        W = (jax.lax.shift_right_logical(PK, bits_v) & mask_w).astype(
+            jnp.float32) * (1.0 / s)
+        Vv = (PK & mask_v).astype(jnp.float32)
+        return P, W, Vv
+
+    def step(d, node, found, leaf_action, needs_alloc, exp, P, W, Vv):
+        live = (1.0 - found) * exp
+        Q = jnp.where(Vv > 0, W / jnp.maximum(Vv, 1.0), 0.0)
+        PI = _node_policy_2d(P, Q, Vv, cpuct=cpuct)
+        prob = probs_ref[pl.ds(d, 1), :]
+        action = _cdf_sample_2d(PI, prob, aio, A)
+        nodes_out[pl.ds(d, 1), :] = jnp.where(live > 0.5, node, -1)
+        actions_out[pl.ds(d, 1), :] = jnp.where(live > 0.5, action, 0)
+        match = jnp.logical_and(parent == node, action_from == action)
+        cid = jnp.sum(
+            jnp.where(match, viof, 0.0), axis=0, keepdims=True
+        ).astype(jnp.int32)
+        hit_missing = live * (cid == 0).astype(jnp.float32)
+        leaf_action = jnp.where(hit_missing > 0.5, action, leaf_action)
+        needs_alloc = jnp.maximum(needs_alloc, hit_missing)
+        found = jnp.maximum(found, jnp.maximum(1.0 - exp, hit_missing))
+        stepm = (live * (cid > 0).astype(jnp.float32)) > 0.5
+        node = jnp.where(stepm, cid, node)
+        return node, found, leaf_action, needs_alloc, PI
+
+    # ---- depth 0 (peeled): all lanes at node 0, static row loads ----
+    if _narrow(A):
+        PK0 = jnp.concatenate(
+            [packed_ref[a, 0:1, :] for a in range(A)], axis=0)
+    else:
+        for a in range(A):
+            pk_scr[pl.ds(a, 1)] = packed_ref[a, 0:1, :]
+        PK0 = pk_scr[:]
+    node0 = jnp.zeros((1, Gb), jnp.int32)
+    zf = jnp.zeros((1, Gb), jnp.float32)
+    node, found, leaf_action, needs_alloc, PI0 = step(
+        0, node0, zf, jnp.zeros((1, Gb), jnp.int32), zf,
+        expanded[0:1, :], *unpack_rows(PK0),
+    )
+    rootpi_out[:] = PI0
+
+    # ---- depths >= 1: ONE one-hot gathered plane ----
+    if _narrow(A):
+        packed_s = [packed_ref[a] for a in range(A)]
+
+        def gather_rows(node):
+            oh = vio == node  # bool [V, Gb]
+            exp = jnp.sum(expanded * oh.astype(jnp.float32),
+                          axis=0, keepdims=True)
+            PK = jnp.concatenate(
+                [jnp.sum(jnp.where(oh, packed_s[a], 0),
+                         axis=0, keepdims=True)
+                 for a in range(A)], axis=0)
+            return exp, PK
+    else:
+
+        def gather_rows(node):
+            oh = vio == node
+            exp = jnp.sum(expanded * oh.astype(jnp.float32),
+                          axis=0, keepdims=True)
+            for a in range(A):
+                pk_scr[pl.ds(a, 1)] = jnp.sum(
+                    jnp.where(oh, packed_ref[a], 0),
+                    axis=0, keepdims=True)
+            return exp, pk_scr[:]
+
+    def cond(st):
+        d, node, found, leaf_action, needs_alloc = st
+        return jnp.logical_and(d < max_depth, jnp.min(found) < 0.5)
+
+    def body(st):
+        d, node, found, leaf_action, needs_alloc = st
+        exp, PK = gather_rows(node)
+        node, found, leaf_action, needs_alloc, _ = step(
+            d, node, found, leaf_action, needs_alloc, exp, *unpack_rows(PK))
+        return d + 1, node, found, leaf_action, needs_alloc
+
+    init = (
+        jnp.int32(1),
+        node,
+        found,
+        leaf_action,
+        needs_alloc,
+    )
+    _, node, _, leaf_action, needs_alloc = jax.lax.while_loop(
+        cond, body, init)
+    leaf_out[:] = node
+    laction_out[:] = leaf_action
+    alloc_out[:] = needs_alloc.astype(jnp.int8)
+
+
+def _select_apply_packed1_kernel(packed_in, parent_ref, af_ref,
+                                 expanded_ref, probs_ref,
+                                 pu_nodes, pu_actions, pu_length, pu_value,
+                                 pu_leaf, pu_newp, pu_write,
+                                 packed_out,
+                                 nodes_out, actions_out, leaf_out,
+                                 laction_out, alloc_out, rootpi_out,
+                                 pk_scr,
+                                 *, cpuct, num_actions, max_depth, layout):
+    """1-plane version of :func:`_select_apply_packed_kernel`: the pending
+    prior-row write packs the quantized row into the word's u11 field (a
+    fresh row, so wsum = visits = 0), the pending backup adds land at the
+    layout's wsum offset, then the single-plane peeled walk runs."""
+    A = num_actions
+    V = packed_in.shape[1]
+    Gb = packed_in.shape[2]
+    bits_v, bits_w, s = layout
+
+    packed_out[:] = packed_in[:]
+
+    # --- pending prior-row write (quantize -> pack, stats zero) ---
+    pleaf = pu_leaf[:]  # [1, Gb] i32
+    write = jnp.where(pleaf < V, pu_write[:], 0.0)  # full-tree guard
+    newp = pu_newp[:]  # [A, Gb] f32
+    pfix = jnp.minimum(jnp.round(newp * _PRIOR_GRID),
+                       _PRIOR_GRID - 1.0).astype(jnp.int32)
+    prow = pfix << (bits_v + bits_w)  # [A, Gb] packed fresh row
+    sio = jax.lax.broadcasted_iota(jnp.int32, (8, Gb), 0)
+    lo = jnp.min(jnp.where(write > 0, pleaf, V - 1))
+    hi = jnp.max(jnp.where(write > 0, pleaf, 0))
+    hi = jnp.minimum(hi, V - 1)
+    lo8 = (lo // 8) * 8
+    nch = hi // 8 - lo // 8 + 1  # <= 0 when no lane writes
+
+    def pchunk(j, c):
+        base = pl.multiple_of(lo8 + j * 8, 8)
+        m = jnp.logical_and((sio + base) == pleaf, write > 0)  # [8, Gb]
+        cur = packed_out[:, pl.ds(base, 8), :]
+        packed_out[:, pl.ds(base, 8), :] = jnp.where(
+            m[None], prow[:, None, :], cur)
+        return c
+
+    jax.lax.fori_loop(0, nch, pchunk, 0)
+
+    # --- pending path edge updates (wsum field at offset bits_v) ---
+    _backup_edges_packed(packed_out, pu_nodes, pu_actions,
+                         pu_length[:], pu_value[:], num_actions=A,
+                         scale=s, wshift=bits_v)
+
+    _walk_packed1(packed_out, parent_ref, af_ref, expanded_ref,
+                  probs_ref, nodes_out, actions_out, leaf_out, laction_out,
+                  alloc_out, rootpi_out, pk_scr,
+                  cpuct=cpuct, num_actions=num_actions,
+                  max_depth=max_depth, layout=layout)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cpuct", "layout", "interpret", "vseg"),
+                   donate_argnums=(0,))
+def select_apply_packed1(packed, parent, action_from, expanded,
+                         probs, pu_nodes, pu_actions, pu_length, pu_value,
+                         pu_leaf, pu_newp, pu_write, cpuct: float,
+                         layout=(7, 14, 128),
+                         interpret: bool = False, vseg: int | None = None):
+    """Fused previous-rollout stat update + selection walk on the 1-plane
+    representation: a single ``packed`` i32[A, V, G] plane holding
+    (prior u11 | wsum fixed-point | visits) per packed1_layout.  Halves
+    the walk's gathered data AND the per-rollout stat stream vs the
+    2-plane form; quantization contract at the packed1 section header.
+
+    Returns ``(packed', path_nodes, path_actions, node, leaf_action,
+    needs_alloc, root_pi)``."""
+    interpret = interpret or bool(os.environ.get("ALPHATPU_FORCE_INTERPRET"))
+    A, V, G = packed.shape
+    D = probs.shape[0]
+    assert D >= 1
+    Vb = vseg or V
+    assert Vb % 8 == 0 and Vb <= V
+    Gb = games_block(A, V, G)
+    assert G % Gb == 0
+    grid = (G // Gb,)
+
+    def avg(i):
+        return (0, 0, i)
+
+    def vg(i):
+        return (0, i)
+
+    stat_spec = pl.BlockSpec((A, Vb, Gb), avg, memory_space=pltpu.VMEM)
+    vg_spec = pl.BlockSpec((Vb, Gb), vg, memory_space=pltpu.VMEM)
+    dg_spec = pl.BlockSpec((D, Gb), vg, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, Gb), vg, memory_space=pltpu.VMEM)
+    ag_spec = pl.BlockSpec((A, Gb), vg, memory_space=pltpu.VMEM)
+
+    (packed2, nodes, actions, node, laction, alloc,
+     rootpi) = pl.pallas_call(
+        functools.partial(_select_apply_packed1_kernel, cpuct=cpuct,
+                          num_actions=A, max_depth=D, layout=layout),
+        out_shape=(
+            jax.ShapeDtypeStruct((A, V, G), jnp.int32),
+            jax.ShapeDtypeStruct((D, G), jnp.int32),
+            jax.ShapeDtypeStruct((D, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), jnp.int8),
+            jax.ShapeDtypeStruct((A, G), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[stat_spec, vg_spec, vg_spec, vg_spec, dg_spec,
+                  dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec,
+                  row_spec],
+        out_specs=(stat_spec,
+                   dg_spec, dg_spec, row_spec, row_spec, row_spec, ag_spec),
+        input_output_aliases={0: 0},
+        scratch_shapes=[pltpu.VMEM((A, Gb), jnp.int32)],
+        compiler_params=_compiler_params(A, V, G),
+        interpret=interpret,
+    )(packed, parent, action_from,
+      expanded.astype(jnp.float32), probs,
+      pu_nodes, pu_actions, pu_length[None, :].astype(jnp.int32),
+      pu_value[None, :], pu_leaf[None, :].astype(jnp.int32), pu_newp,
+      pu_write[None, :].astype(jnp.float32))
+    return (packed2, nodes, actions, node[0], laction[0],
             alloc[0] != 0, rootpi)
 
 

@@ -393,7 +393,7 @@ def run_mcts(
     probs=None,
     final_root_policy: bool = False,
     segment_rollouts: bool = True,
-    packed_stats: bool | None = None,
+    packed_stats: bool | int | None = None,
 ):
     """One full search over all games for the current move: ``rollouts`` x
     (select -> batched NN forward -> expand -> backup) as a lax.scan (the
@@ -429,16 +429,32 @@ def run_mcts(
     exact, wsum exact sums of leaf values quantized to the 1/value_scale
     grid (1/512 at 64 rollouts) - the quantization is the scheme's only
     rounding.  ``None`` (the default) = use it whenever the fused kernel
-    path is active and the tree stores f32 (disable with
-    ALPHATPU_NO_PACK=1).  ``True`` on a backend without kernels runs the
-    jnp twin with the identical value quantization (backup's
-    value_scale), so parity tests compare bit-exactly.
+    path is active, the tree stores f32 AND the tree is freshly reset
+    (``segment_rollouts=True``; disable with ALPHATPU_NO_PACK=1).  ``True``
+    on a kernel-less f32 backend runs the jnp twin with the identical
+    value quantization (backup's value_scale), so parity tests compare
+    bit-exactly; ``True`` on a pre-grown tree (``segment_rollouts=False``)
+    raises - the u16 halves only bound a single search's stats; ``True``
+    with bf16 stat storage is ignored (the packed plane is an f32-storage
+    design).
+
+    ``packed_stats=2`` selects the 1-PLANE representation
+    (pallas_kernels.select_apply_packed1): prior, wsum and visits all in
+    one i32 word (prior u11 | wsum fix | visits), halving the walk's
+    gathered planes versus the 2-plane form.  Additional quantization:
+    prior rows rounded to the 1/2048 grid at the write (quantize_prior);
+    the kernel-less twin applies the identical rounding, so parity stays
+    bit-exact.  Auto level under ``None`` is ALPHATPU_PACK (1 = 2-plane
+    default, 2 = 1-plane).
     """
     import os
 
     from .pallas_kernels import (
-        pack_stats, quantize_value, select_apply_packed, select_apply_pallas,
-        select_supported, unpack_visits, unpack_wsum, value_scale,
+        pack1_stats, pack_stats, packed1_layout, quantize_prior,
+        quantize_value, select_apply_packed, select_apply_packed1,
+        select_apply_pallas, select_supported, unpack1_prior,
+        unpack1_visits, unpack1_wsum, unpack_visits, unpack_wsum,
+        value_scale,
     )
 
     G = tree.num_games
@@ -454,15 +470,47 @@ def run_mcts(
         get_probs = lambda p: p
 
     fused = select_supported(G, V, A, tree.prior.dtype.itemsize)
+    f32_stats = tree.prior.dtype == jnp.float32
     if packed_stats is None:
-        packed_stats = (fused and tree.prior.dtype == jnp.float32
-                        and not os.environ.get("ALPHATPU_NO_PACK"))
-    packed = packed_stats and fused and tree.prior.dtype == jnp.float32
-    vscale = value_scale(rollouts)
+        # auto: the packed plane additionally needs a freshly reset tree
+        # (see the guard below), which segment_rollouts=True declares.
+        # ALPHATPU_PACK picks the level (1 = 2-plane default, 2 = 1-plane)
+        level = int(os.environ.get("ALPHATPU_PACK") or 1)
+        packed_stats = (level if (fused and f32_stats and segment_rollouts
+                                  and not os.environ.get("ALPHATPU_NO_PACK"))
+                        else False)
+    elif packed_stats and not segment_rollouts:
+        # ``segment_rollouts=False`` is the caller's declaration of a
+        # pre-grown tree.  value_scale only bounds ONE search's per-edge
+        # (wsum * scale | visits) inside the u16 halves; chained searches
+        # without a reset can wrap past 2**16 after as few as two R=64
+        # searches and silently corrupt every downstream stat - refuse
+        # rather than corrupt.
+        raise ValueError(
+            "packed_stats=True requires a freshly reset tree "
+            "(segment_rollouts=True): the u16 fixed-point halves bound a "
+            "single search's visits/wsum only.  Search a pre-grown tree "
+            "with packed_stats=False (the f32 fused path, identical math)."
+        )
+    p_level = int(packed_stats) if packed_stats else 0  # True -> 1
+    packed = p_level == 1 and fused and f32_stats
+    packed1 = p_level >= 2 and fused and f32_stats
+    layout1 = packed1_layout(rollouts)
+    vscale = layout1[2] if p_level >= 2 else value_scale(rollouts)
+    # value_scale's contract: one fresh search fits the word's wsum field
+    assert not packed_stats or rollouts * vscale < (
+        1 << (layout1[1] if p_level >= 2 else 16))
     # packed semantics without the kernel path: run the jnp twin with the
     # identical leaf-value quantization (bit-exact CI reference - with
     # on-grid values every f32 add is exact, see pallas_kernels.pack_stats)
-    emulate_packed = packed_stats and not packed
+    # plus, at level 2, the identical prior-row quantization.
+    # Non-f32 (bf16) storage ignores packed_stats entirely: quantized
+    # emulation under the fused bf16 kernel would yield hybrid semantics
+    # matching neither the packed kernel nor the documented jnp twin.
+    emulate_packed = (p_level >= 1 and f32_stats
+                      and not packed and not packed1)
+    # level 2's prior quantization applies to the jnp twin's expand writes
+    prior_q = quantize_prior if p_level >= 2 and f32_stats else None
     if emulate_packed:
         w = tree.wsum.astype(jnp.float32)
         tree = tree._replace(
@@ -487,8 +535,14 @@ def run_mcts(
         leaf_states, prior, v = nn_eval(tree, node, leaf_action, needs_alloc)
         tree, leaf, done, result, newp = expand(
             game, tree, node, leaf_action, needs_alloc, leaf_states, prior,
-            training,
+            training, write_prior=prior_q is None,
         )
+        if prior_q is not None:
+            # level-2 twin: the stored row is quantized (matching the
+            # kernel's u11 pack); newp itself stays full-precision for the
+            # rollout-1 root_pi below, exactly like the kernel path
+            tree = tree._replace(prior=scatter_stat(
+                tree.prior, node_onehot(V, leaf), prior_q(newp)))
         # When this rollout expanded the root itself (only possible on the
         # first rollout), the selection saw no policy; the stored-policy
         # reference would report the freshly written (noise-mixed) root
@@ -569,6 +623,39 @@ def run_mcts(
         )
         return (tree, packed2, root_pi, pend), None
 
+    def fused_body_packed1(carry, x, vseg=None):
+        """fused_body on the 1-plane (prior | wsum | visits) word: the
+        whole stat state is ONE i32 plane travelling beside the tree."""
+        tree, packed_arr, _, pend = carry
+        p = get_probs(x)
+        root_was_expanded = tree.expanded[0]  # [G]
+        (packed2, pnodes, pactions, node, leaf_action, needs_alloc,
+         root_pi) = select_apply_packed1(
+            packed_arr, tree.parent, tree.action_from,
+            tree.expanded, p, pend.nodes, pend.actions, pend.length,
+            pend.value, pend.leaf, pend.newp, pend.write, float(cpuct),
+            layout=layout1, vseg=vseg,
+        )
+        path = Path(pnodes, pactions, (pnodes >= 0).sum(0).astype(jnp.int32))
+        leaf_states, prior, v = nn_eval(tree, node, leaf_action, needs_alloc)
+        tree, leaf, done, result, newp = expand(
+            game, tree, node, leaf_action, needs_alloc, leaf_states, prior,
+            training, write_prior=False,
+        )
+        root_pi = jnp.where(root_was_expanded[None, :], root_pi, newp)
+        pend = PendingUpdate(
+            nodes=path.nodes,
+            actions=path.actions,
+            length=path.length,
+            # on the 1/vscale grid, as for the 2-plane form
+            value=quantize_value(
+                leaf_value_of(leaf_states.player, v, done, result), vscale),
+            leaf=leaf,
+            newp=newp,
+            write=jnp.ones((G,), bool),
+        )
+        return (tree, packed2, root_pi, pend), None
+
     # Segmented rollout loop: node ids are allocation-ordered (root = 0,
     # <= 1 new node per rollout), so rollout r only touches stat rows
     # <= r.  Running the early rollouts with the kernels' streamed node
@@ -585,9 +672,18 @@ def run_mcts(
         and rollouts == V
         and probs is None
     )
-    the_body = (fused_body_packed if packed
+    the_body = (fused_body_packed1 if packed1
+                else fused_body_packed if packed
                 else fused_body if fused else body)
-    if packed:
+    if packed1:
+        # one plane carries everything; prior/wsum/visits are all dead
+        placeholder = jnp.zeros((0,), jnp.float32)
+        carry = (tree._replace(prior=placeholder, wsum=placeholder,
+                               visits=placeholder),
+                 pack1_stats(tree.prior, tree.wsum, tree.visits, layout1),
+                 jnp.zeros((A, G), jnp.float32),
+                 empty_pending(depth_cap, A, G))
+    elif packed:
         # the f32 wsum/visits arrays are dead during the scan (the packed
         # plane replaces them); carrying 0-sized placeholders instead keeps
         # XLA from threading two full [A, V, G] buffers through the loop
@@ -611,7 +707,22 @@ def run_mcts(
             r0 = vseg
     else:
         carry, _ = jax.lax.scan(the_body, carry, xs)
-    if packed:
+    if packed1:
+        tree, packed_arr, root_pi, pend = carry
+        # rebuild the f32 stat arrays from the single plane, then flush
+        # the last rollout's deferred writes.  The flushed prior row is
+        # quantized (quantize_prior) - matching both the kernel's in-scan
+        # writes and the jnp twin's stored rows.
+        tree = tree._replace(
+            prior=scatter_stat(
+                unpack1_prior(packed_arr, layout1),
+                node_onehot(V, pend.leaf), quantize_prior(pend.newp),
+                mask=pend.write),
+            wsum=unpack1_wsum(packed_arr, layout1),
+            visits=unpack1_visits(packed_arr, layout1),
+        )
+        tree = backup_flush(tree, pend)
+    elif packed:
         tree, packed_arr, root_pi, pend = carry
         # rebuild the f32 stat arrays from the packed plane, then flush the
         # last rollout's deferred writes.  pend.value is on the 1/vscale

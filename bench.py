@@ -26,6 +26,23 @@ os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
 # 50,047 env-steps/s on TPU v5e-1 (Connect-4, 64 rollouts).
 ANCHOR_STEPS_PER_S = 50047.0
 
+# Per-game anchors: connect4 keeps the r1 anchor above (the headline's
+# cross-round continuity); every other game is anchored to its own
+# round-4 committed matrix row (benchmarks/results_r4.json, same chip and
+# workload shape) - a cross-game ratio against the connect4 anchor is
+# meaningless (VERDICT r4 weak #5).  Games without a committed anchor
+# report vs_baseline: null.
+GAME_ANCHORS = {
+    "connect4": (ANCHOR_STEPS_PER_S, "self-r1 unoptimized build"),
+    "tictactoe": (420728.1, "self-r4 committed matrix row"),
+    "hex7": (109703.6, "self-r4 committed matrix row"),
+    "gobang9": (70681.1, "self-r4 committed matrix row"),
+    "reversi6x6": (153404.5, "self-r4 committed matrix row"),
+    "reversi8x8": (69173.7, "self-r4 committed matrix row"),
+    "hex13": (24596.3, "self-r4 committed matrix row"),
+    "gobang13": (28449.1, "self-r4 committed matrix row"),
+}
+
 # v5e peak: 197 TFLOP/s bf16 (MXU); f32 runs at roughly a quarter of that.
 PEAK_FLOPS_BF16 = 197e12
 
@@ -155,13 +172,17 @@ def measure(game_name="connect4", games=8192, rollouts=64, bf16=False,
         "unit": "env-steps/s",
         # NOT vs the reference: the reference publishes no absolute
         # throughput (BASELINE.md), so the ratio is against this
-        # framework's own unoptimized round-1 build (the "anchor" field
-        # says so machine-readably).  The driver schema requires the
+        # framework's own committed PER-GAME anchor (the "anchor" field
+        # says which, machine-readably).  The driver schema requires the
         # field name.
-        "vs_baseline": round(steps_per_s / ANCHOR_STEPS_PER_S, 3),
-        "anchor": f"self-r1 unoptimized build, {ANCHOR_STEPS_PER_S:.0f} "
-                  "env-steps/s on the same chip/workload (reference "
-                  "publishes no absolute throughput)",
+        "vs_baseline": (round(steps_per_s / GAME_ANCHORS[game_name][0], 3)
+                        if game_name in GAME_ANCHORS else None),
+        "anchor": (
+            f"{GAME_ANCHORS[game_name][1]}, "
+            f"{GAME_ANCHORS[game_name][0]:.0f} env-steps/s on the same "
+            "chip/workload (reference publishes no absolute throughput)"
+            if game_name in GAME_ANCHORS
+            else "none: no committed per-game anchor"),
         "extra": {
             "env_steps": int(env_steps),
             "samples_written": int(stats["samples_written"]),

@@ -302,7 +302,8 @@ def test_packed_production_path_matches_twin(game_name, G, V, monkeypatch):
     ("hex5", 256, 32),
 ])
 def test_bf16_stats_kernel_matches_jnp(game_name, G, V, monkeypatch):
-    """bf16 stat storage (the production default, tree.stat_dtype_for): the
+    """bf16 stat storage (opt-in measurement lever, measured ~16% slower
+    than f32 - see tree.stat_dtype_for): the
     kernel path and the jnp twin run all math in f32 and round to bf16 at
     the identical write-back points (one rounding per edge add, one per
     prior-row write), so kernel-vs-jnp parity stays BIT-exact - not merely
@@ -392,3 +393,101 @@ def test_segmented_production_path_matches_jnp(game_name, G, V, monkeypatch):
             np.asarray(getattr(ref_tree, name)),
             rtol=1e-6, atol=1e-7, err_msg=name,
         )
+
+
+def test_packed_stats_refuses_pregrown_tree():
+    """packed_stats=True on a pre-grown tree (segment_rollouts=False, the
+    caller's declaration of one) must raise: value_scale only bounds ONE
+    search's per-edge (wsum * scale | visits) inside the u16 halves, so
+    chained unreset searches would silently wrap (advisor r4, medium).
+    The auto default (packed_stats=None) must instead quietly fall back
+    to the unpacked path."""
+    game = make_game("tictactoe")
+    params = init_params(
+        jax.random.key(0), config_for_game(game, width=32, depth=2)
+    )
+    positions = broadcast_initial(game, 8)
+    tree0 = init_tree(game, positions, 8)
+    with pytest.raises(ValueError, match="freshly reset"):
+        run_mcts(game, apply_inference, params, tree0, jax.random.key(1),
+                 rollouts=8, cpuct=CPUCT, training=True,
+                 segment_rollouts=False, packed_stats=True)
+    # auto: no error, runs unpacked
+    tree1, pi = run_mcts(
+        game, apply_inference, params, tree0, jax.random.key(1),
+        rollouts=8, cpuct=CPUCT, training=True, segment_rollouts=False)
+    assert np.isfinite(np.asarray(pi)).all()
+
+
+@pytest.mark.parametrize("game_name,G,V", [
+    ("tictactoe", 256, 32),
+    ("hex5", 256, 32),
+])
+def test_packed1_path_matches_twin(game_name, G, V, monkeypatch):
+    """The 1-plane representation (packed_stats=2: select_apply_packed1 -
+    prior u11 | wsum fix | visits in ONE i32 word, peeled depth-0 walk,
+    aliased write-back) against its bit-exact jnp twin (packed_stats=2 on
+    a kernel-less backend = leaf values on the 1/scale grid AND prior rows
+    on the 1/2048 grid).  Every tree field must match EXACTLY; visits must
+    be exact integers; wsum and prior must sit exactly on their grids."""
+    game = make_game(game_name)
+    params = init_params(
+        jax.random.key(5), config_for_game(game, width=32, depth=2)
+    )
+    positions = broadcast_initial(game, G)
+    tree0 = init_tree(game, positions, V)
+    rng = jax.random.key(29)
+
+    monkeypatch.setenv("ALPHATPU_NO_KERNELS", "1")
+    ref_tree, ref_pi = run_mcts(
+        game, apply_inference, params, tree0, rng,
+        rollouts=V, cpuct=CPUCT, training=True, packed_stats=2,
+    )
+    monkeypatch.delenv("ALPHATPU_NO_KERNELS")
+    monkeypatch.setenv("ALPHATPU_FORCE_INTERPRET", "1")
+    k_tree, k_pi = run_mcts(
+        game, apply_inference, params, tree0, rng,
+        rollouts=V, cpuct=CPUCT, training=True, packed_stats=2,
+    )
+    monkeypatch.delenv("ALPHATPU_FORCE_INTERPRET")
+
+    np.testing.assert_allclose(
+        np.asarray(k_pi), np.asarray(ref_pi), rtol=1e-6, atol=1e-7
+    )
+    for name in ("parent", "action_from", "expanded", "next_idx",
+                 "prior", "wsum", "visits"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(k_tree, name)),
+            np.asarray(getattr(ref_tree, name)), err_msg=name,
+        )
+    from alphatpu.mcts.pallas_kernels import packed1_layout
+
+    bits_v, bits_w, s = packed1_layout(V)
+    np.testing.assert_array_equal(np.asarray(k_tree.visits) % 1.0, 0.0)
+    assert np.asarray(k_tree.visits).max() < (1 << bits_v)
+    np.testing.assert_array_equal(
+        (np.asarray(k_tree.wsum, np.float64) * s) % 1.0, 0.0)
+    np.testing.assert_array_equal(
+        (np.asarray(k_tree.prior, np.float64) * 2048) % 1.0, 0.0)
+
+
+def test_packed1_vs_packed2_same_search_shape(monkeypatch):
+    """Same key, level 1 vs level 2 on the kernel-less twin: the searches
+    agree except where the coarser value/prior grids flip a CDF sample -
+    visit totals (conservation) must agree exactly."""
+    game = make_game("tictactoe")
+    params = init_params(
+        jax.random.key(0), config_for_game(game, width=32, depth=2)
+    )
+    positions = broadcast_initial(game, 64)
+    tree0 = init_tree(game, positions, 16)
+    monkeypatch.setenv("ALPHATPU_NO_KERNELS", "1")
+    t1, _ = run_mcts(game, apply_inference, params, tree0,
+                     jax.random.key(3), rollouts=16, cpuct=CPUCT,
+                     training=True, packed_stats=1)
+    t2, _ = run_mcts(game, apply_inference, params, tree0,
+                     jax.random.key(3), rollouts=16, cpuct=CPUCT,
+                     training=True, packed_stats=2)
+    np.testing.assert_array_equal(
+        np.asarray(t1.visits[:, 0, :].sum(0)),
+        np.asarray(t2.visits[:, 0, :].sum(0)))
