@@ -195,13 +195,25 @@ def main(argv=None) -> int:
         from . import checkpoint as ckpt
 
         carry_tmpl = None
-        if args.continuous and args.save_buffer and D == 1:
-            # exact-resume of in-flight episodes (multi-device carries hold
-            # per-device key stacks and resume fresh instead)
+        if args.continuous and args.save_buffer:
+            # exact-resume of in-flight episodes.  The carry's array leaves
+            # are global [G, ...] regardless of the mesh; only the rng leaf
+            # differs: a single key at D == 1, a stacked key per device at
+            # D > 1 (pipeline.run_generation's device_keys).  Build the
+            # template with the matching [D, *key_data] shape so a sharded
+            # run resumes its in-flight episodes exactly like a
+            # single-device one (no dropped episodes; the mesh resharding
+            # happens on the next sp_fn call).  NB resume requires the
+            # same --devices count the checkpoint was written with.
+            import jax.numpy as jnp
+
             from .selfplay import make_carry
 
             c = make_carry(game, cfg.selfplay.num_games, state.rng)
-            carry_tmpl = c._replace(rng=jax.random.key_data(c.rng))
+            kd = jax.random.key_data(c.rng)
+            if D > 1:
+                kd = jnp.zeros((D,) + kd.shape, kd.dtype)
+            carry_tmpl = c._replace(rng=kd)
         manifest, loaded = ckpt.load_checkpoint(
             cfg.ckpt_dir,
             best_params=state.best_params,

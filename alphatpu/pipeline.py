@@ -111,9 +111,12 @@ class PipelineState:
     best_generation: int = 0
     # continuous mode: in-flight episodes persist across generations (zero
     # dropped search compute).  None = start fresh.  Checkpointed together
-    # with the buffer (--save-buffer, single-device) so a resume continues
-    # the in-flight episodes exactly; without --save-buffer a resume
-    # restarts lanes on fresh episodes (bounded one-generation loss).
+    # with the buffer (--save-buffer) so a resume continues the in-flight
+    # episodes exactly - on a device mesh too (the rng leaf is the [D]
+    # per-device key stack; resume requires the same --devices count,
+    # tests/test_parallel.py::test_sharded_carry_resume_exact).  Without
+    # --save-buffer a resume restarts lanes on fresh episodes (bounded
+    # one-generation loss).
     sp_carry: Any = None
 
 
