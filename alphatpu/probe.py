@@ -549,13 +549,19 @@ def probe_for_game(game, depth: int | None = None):
 
 def eval_vs_probe(game, net_apply, params, rng, probe=None, *,
                   num_games: int = 64, rollouts: int = 64,
-                  cpuct: float = 1.5, temp_moves: int = 8, seed: int = 0):
+                  cpuct: float = 1.5, temp_moves: int = 8, seed: int = 0,
+                  trace: bool = False):
     """(net_wins, draws, net_losses) over ``num_games`` games against the
     probe, half with the net moving first.  The net plays by full MCTS on
     device (sampling from the root policy for the first ``temp_moves``
     plies, greedy after - the duel temperature protocol, mcts_gpu.jl:605);
     the probe moves on host with random tie-breaks.  A host loop over move
-    rounds: eval-only, so the per-move device_get is irrelevant."""
+    rounds: eval-only, so the per-move device_get is irrelevant.
+
+    ``trace=True`` additionally returns a per-ply record list (the applied
+    action, the net's greedy and sampled candidates, whose turn, liveness)
+    plus the per-game result array - the replay surface used to attribute
+    losses to sampled-vs-greedy picks (benchmarks/ttt_loss_replay.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -599,6 +605,7 @@ def eval_vs_probe(game, net_apply, params, rng, probe=None, *,
     enc = np.asarray(jax.device_get(
         jax.jit(jax.vmap(game.encode))(positions)))
     V = game.vectorized_state
+    records = []
 
     for t in range(game.max_game_length):
         if done.all():
@@ -616,6 +623,13 @@ def eval_vs_probe(game, net_apply, params, rng, probe=None, *,
             else:
                 actions[i] = probe.best_action(
                     enc[i, :V] > 0, enc[i, V:] > 0, host_rngs[i])
+        if trace:
+            records.append({
+                "ply": t, "alive": ~done.copy(), "net_turn": net_turn,
+                "action": actions.copy(), "greedy": greedy.copy(),
+                "sampled": sampled.copy(),
+                "sampling_phase": t < temp_moves,
+            })
         positions, f, r, enc_d, _ = apply_moves(
             positions, jnp.asarray(actions), jnp.asarray(~done))
         f, r = np.asarray(f), np.asarray(r)
@@ -628,6 +642,11 @@ def eval_vs_probe(game, net_apply, params, rng, probe=None, *,
     wins = int(((result == net_sign) & done).sum())
     losses = int(((result == -net_sign) & done).sum())
     draws = int(((result == 0) & done).sum() + (~done).sum())
+    if trace:
+        return wins, draws, losses, {
+            "records": records, "result": result, "net_first": net_first,
+            "net_sign": net_sign,
+        }
     return wins, draws, losses
 
 

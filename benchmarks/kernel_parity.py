@@ -26,7 +26,9 @@ def check(name, G=1024, R=32, stat_dtype=jnp.float32, packed=None):
                          config_for_game(game, width=64, depth=2))
     positions = broadcast_initial(game, G)
     tree0 = init_tree(game, positions, R, stat_dtype=stat_dtype)
-    jnp_packed = (packed is None and stat_dtype == jnp.float32) or bool(packed)
+    # the jnp reference must emulate the same pack LEVEL (False / 1 / 2)
+    jnp_packed = (packed if packed is not None
+                  else (1 if stat_dtype == jnp.float32 else False))
 
     def search(t, k, packed_stats=packed):
         return run_mcts(game, apply_inference, params, t, k,
@@ -48,7 +50,7 @@ def check(name, G=1024, R=32, stat_dtype=jnp.float32, packed=None):
 
     print(f"--- {name} (A={game.max_actions}, "
           f"stats={jnp.dtype(stat_dtype).name}"
-          f"{', packed' if jnp_packed else ''}) ---")
+          f"{f', packed L{int(jnp_packed)}' if jnp_packed else ''}) ---")
     # Per-LANE divergence accounting: a CDF prefix-sum tie (Hillis-Steele
     # vs cumsum accumulation order, documented in pallas_kernels) flips one
     # action pick and that lane's whole tree diverges downstream - so the
@@ -86,3 +88,7 @@ if __name__ == "__main__":
     # identical points, so parity stays bit-exact in bf16 too
     check("hex7", stat_dtype=jnp.bfloat16)
     check("hex13", G=256, stat_dtype=jnp.bfloat16)
+    # the 1-plane (prior | wsum | visits) kernel (packed_stats=2)
+    check("connect4", packed=2)
+    check("hex7", packed=2)
+    check("hex13", G=256, packed=2)
