@@ -61,7 +61,8 @@ _VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic default is 16 MB; v5e has 128 MB
 
 
 def games_block(num_actions: int, num_nodes: int | None = None,
-                num_games: int | None = None, itemsize: int = 4) -> int:
+                num_games: int | None = None, itemsize: int = 4,
+                budget_blocks: int = 12) -> int:
     """Lane-block width: the widest of 1024/512/256/128 whose [A, V, Gb]
     stat blocks fit the VMEM budget and divide G.  Fewer, fatter grid
     blocks amortize per-block overheads (pipeline prologue, scratch init,
@@ -69,21 +70,36 @@ def games_block(num_actions: int, num_nodes: int | None = None,
     g8192, Gb 256 -> 1024 is 32.5 -> 25.5 ms/move (-21%).  Narrow boards
     (register gather path) cap at 1024; wide boards at 512 - their
     blocks are A-times larger and the scratch rows scale with Gb.
-    ``itemsize`` is the stat storage width (4 = f32/packed, 2 = bf16)."""
+    ``itemsize`` is the stat storage width (4 = f32/packed, 2 = bf16).
+
+    ``budget_blocks`` is the provable live-block headroom of the kernel
+    family the blocks feed (select_supported's accounting): 12 for the
+    2/3-plane kernels, PACKED1_BLOCKS for the single-plane kernel whose
+    whole stat state is one plane (1 double-buffered input + 1
+    double-buffered aliased output + temporaries) - wide boards fit
+    wider lane blocks there."""
     force = os.environ.get("ALPHATPU_GB")  # measurement override (A/B)
     if force:
         gb = int(force)
         return gb if num_games is None or num_games % gb == 0 else 128
 
     def ok(gb):
-        fits = (12 * num_actions * num_nodes * gb * itemsize < _VMEM_LIMIT
+        fits = (budget_blocks * num_actions * num_nodes * gb * itemsize
+                < _VMEM_LIMIT
                 if num_nodes is not None else gb <= 256)
         return fits and (num_games is None or num_games % gb == 0)
 
-    gb = 1024 if num_actions <= 16 else 512
+    # wide boards cap at 512 under the 12-block budget (measured choice);
+    # the leaner single-plane budget lets the VMEM check decide instead
+    gb = 1024 if (num_actions <= 16 or budget_blocks < 12) else 512
     while gb > 128 and not ok(gb):
         gb //= 2
     return gb
+
+
+# the single-plane kernel's live-VMEM accounting: 2x double-buffered
+# packed block (in + aliased out) + scratch/temporary margin
+PACKED1_BLOCKS = 6
 
 
 def _narrow(num_actions: int) -> bool:
@@ -108,7 +124,7 @@ def _compiler_params(num_actions: int, num_nodes: int,
 
 
 def select_supported(num_games: int, num_nodes: int, num_actions: int,
-                     itemsize: int = 4) -> bool:
+                     itemsize: int = 4, budget_blocks: int = 12) -> bool:
     """The kernel path needs a TPU backend (the axon tunnel platform is a
     TPU), tile-aligned dims (G on the 128 lanes, V on the stat dtype's
     sublane tile - 8 rows for f32, 16 for bf16) and stat blocks that fit
@@ -120,7 +136,9 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int,
     outputs (4 blocks) plus the 2 full-block while_loop carries = 6 blocks;
     select holds 4 double-buffered stat inputs = 8 blocks plus [A, Gb]-sized
     scratch/rows.  12 blocks of headroom covers both with a 2-block margin
-    for Mosaic temporaries."""
+    for Mosaic temporaries.  The single-plane kernel passes
+    ``budget_blocks=PACKED1_BLOCKS`` (its whole stat state is one plane),
+    which admits wider lane blocks / bigger shapes."""
     tile = 32 // itemsize  # sublane rows per stat tile
     if os.environ.get("ALPHATPU_NO_KERNELS"):  # debug: force the jnp path
         return False
@@ -128,16 +146,17 @@ def select_supported(num_games: int, num_nodes: int, num_actions: int,
         # CI hook: run the kernel path through the Pallas interpreter on
         # any backend (tests/test_pallas.py full-pipeline parity)
         return num_games % games_block(
-            num_actions, num_nodes, num_games, itemsize
+            num_actions, num_nodes, num_games, itemsize, budget_blocks
         ) == 0 and num_nodes % tile == 0
     backend = jax.default_backend()
-    gb = games_block(num_actions, num_nodes, num_games, itemsize)
+    gb = games_block(num_actions, num_nodes, num_games, itemsize,
+                     budget_blocks)
     block_bytes = num_actions * num_nodes * gb * itemsize
     return (
         backend in ("tpu", "axon")
         and num_games % gb == 0
         and num_nodes % tile == 0
-        and 12 * block_bytes < _VMEM_LIMIT
+        and budget_blocks * block_bytes < _VMEM_LIMIT
     )
 
 
@@ -1256,7 +1275,7 @@ def select_apply_packed1(packed, parent, action_from, expanded,
     assert D >= 1
     Vb = vseg or V
     assert Vb % 8 == 0 and Vb <= V
-    Gb = games_block(A, V, G)
+    Gb = games_block(A, V, G, budget_blocks=PACKED1_BLOCKS)
     assert G % Gb == 0
     grid = (G // Gb,)
 

@@ -450,11 +450,11 @@ def run_mcts(
     import os
 
     from .pallas_kernels import (
-        pack1_stats, pack_stats, packed1_layout, quantize_prior,
-        quantize_value, select_apply_packed, select_apply_packed1,
-        select_apply_pallas, select_supported, unpack1_prior,
-        unpack1_visits, unpack1_wsum, unpack_visits, unpack_wsum,
-        value_scale,
+        PACKED1_BLOCKS, pack1_stats, pack_stats, packed1_layout,
+        quantize_prior, quantize_value, select_apply_packed,
+        select_apply_packed1, select_apply_pallas, select_supported,
+        unpack1_prior, unpack1_visits, unpack1_wsum, unpack_visits,
+        unpack_wsum, value_scale,
     )
 
     G = tree.num_games
@@ -474,9 +474,14 @@ def run_mcts(
     if packed_stats is None:
         # auto: the packed plane additionally needs a freshly reset tree
         # (see the guard below), which segment_rollouts=True declares.
-        # ALPHATPU_PACK picks the level (1 = 2-plane default, 2 = 1-plane)
+        # ALPHATPU_PACK picks the level (1 = 2-plane default, 2 = 1-plane;
+        # the 1-plane kernel's whole stat state is one plane, so its VMEM
+        # gate uses the leaner PACKED1_BLOCKS budget)
         level = int(os.environ.get("ALPHATPU_PACK") or 1)
-        packed_stats = (level if (fused and f32_stats and segment_rollouts
+        supported = (select_supported(G, V, A, 4,
+                                      budget_blocks=PACKED1_BLOCKS)
+                     if level >= 2 else fused)
+        packed_stats = (level if (supported and f32_stats and segment_rollouts
                                   and not os.environ.get("ALPHATPU_NO_PACK"))
                         else False)
     elif packed_stats and not segment_rollouts:
@@ -494,7 +499,8 @@ def run_mcts(
         )
     p_level = int(packed_stats) if packed_stats else 0  # True -> 1
     packed = p_level == 1 and fused and f32_stats
-    packed1 = p_level >= 2 and fused and f32_stats
+    packed1 = (p_level >= 2 and f32_stats and select_supported(
+        G, V, A, 4, budget_blocks=PACKED1_BLOCKS))
     layout1 = packed1_layout(rollouts)
     vscale = layout1[2] if p_level >= 2 else value_scale(rollouts)
     # value_scale's contract: one fresh search fits the word's wsum field
