@@ -110,10 +110,10 @@ for G in lanes:
 
     t_search = timed(search, tree0, reps=4)
 
-    us = 1e6 / G
+    ns = 1e9 / G
     print(f"G={G:6d}: select_apply {t_sel*1e3:7.2f} ms "
-          f"({t_sel*us*1e3:6.3f} us/lane)  "
-          f"backup {t_bkp*1e3:6.2f} ms ({t_bkp*us*1e3:6.3f})  "
-          f"nn {t_nn*1e3:6.2f} ms ({t_nn*us*1e3:6.3f})  "
-          f"search[{R}] {t_search*1e3:8.1f} ms ({t_search*us*1e3:7.3f})",
+          f"({t_sel*ns:6.1f} ns/lane)  "
+          f"backup {t_bkp*1e3:6.2f} ms ({t_bkp*ns:6.1f})  "
+          f"nn {t_nn*1e3:6.2f} ms ({t_nn*ns:6.1f})  "
+          f"search[{R}] {t_search*1e3:8.1f} ms ({t_search*ns:7.1f})",
           flush=True)
